@@ -1,0 +1,380 @@
+"""Entity linking: mention -> entity_id (SURVEY.md §2.8, L1/L2).
+
+Reference cascade (pipeline/parsing/entity_resolver.py:26-118), per mention:
+  1. exact case-insensitive equality against any stored surface form
+     (entity_map.py:88-133 fuzzy=False)
+  2. normalized equality vs canonical_name / common_mentions
+  3. best fuzzy score >= 0.7 over {SequenceMatcher ratio, core-term Jaccard,
+     containment bonus 0.85} against canonical + top-10 common mentions
+  4. for mentions >10 chars: >=60% core-term coverage against the first 20
+     stored mentions, score 0.7*coverage + 0.3*ratio, threshold 0.7
+Ties at every step resolve to the earliest-created entity (the reference
+iterates its dict in insertion order).
+
+Spark architecture — two paths sharing the same cascade kernel:
+
+* ``resolve_in_document``: the reference's own search-space pruning
+  (entity_resolver.py:52-62) — candidates are the document's gold entities.
+  Expressed as a cogrouped ``applyInPandas`` on url: mentions of a doc meet
+  that doc's (catalog-enriched) entity rows.  Per-group state is tiny;
+  scales with documents.
+
+* ``resolve_global_lsh``: the 10^12-scale path when no document hint
+  exists — MinHash-LSH over token shingles blocks candidate
+  (mention, entity-form) pairs, then the exact cascade kernel re-scores
+  candidates only (north_star: "blocked candidate generation +
+  similarity scoring").  Never a full catalog scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..functions.textnorm import core_terms, norm_full, seq_ratio
+
+# ---------------------------------------------------------------------------
+# cascade kernel (pure python).  entity rows: dicts with entity_id,
+# canonical_name, common_mentions (top-10), exact_forms (set of lowered
+# stripped surface forms), first20 (first 20 stored mention texts),
+# created_ord (creation-order key).
+# ---------------------------------------------------------------------------
+
+
+def _similarity_score(mention: str, ent: dict) -> float:
+    """Step-3 scoring (entity_resolver.py:164-228)."""
+    m_norm = norm_full(mention)
+    m_terms = core_terms(mention)
+    best = 0.0
+    candidates = []
+    if ent.get("canonical_name"):
+        candidates.append(ent["canonical_name"])
+    candidates.extend((ent.get("common_mentions") or [])[:10])
+    for cand in candidates:
+        c_norm = norm_full(cand)
+        best = max(best, seq_ratio(m_norm, c_norm))
+        c_terms = core_terms(cand)
+        if m_terms and c_terms:
+            best = max(best, len(m_terms & c_terms) / len(m_terms | c_terms))
+        if m_norm and c_norm and (m_norm in c_norm or c_norm in m_norm):
+            best = max(best, 0.85)
+    return best
+
+
+def _partial_match_score(mention: str, ent: dict) -> float:
+    """Step-4 scoring (entity_resolver.py:230-296): best over first 20
+    stored mentions with >=60% core-term coverage."""
+    m_norm = norm_full(mention)
+    m_terms = core_terms(mention)
+    if not m_terms:
+        return 0.0
+    best = 0.0
+    for stored in (ent.get("first20") or [])[:20]:
+        s_terms = core_terms(stored)
+        if not s_terms:
+            continue
+        coverage = len(m_terms & s_terms) / len(m_terms)
+        if coverage >= 0.6:
+            score = coverage * 0.7 + seq_ratio(m_norm, norm_full(stored)) * 0.3
+            if score > best:
+                best = score
+    return best
+
+
+def resolve_mention_py(
+    mention: str, entities: list[dict], fuzzy_threshold: float = 0.7
+) -> str | None:
+    """Full cascade over candidate entities sorted by created_ord."""
+    mention = (mention or "").strip()
+    if not mention or not entities:
+        return None
+    ordered = sorted(entities, key=lambda e: e.get("created_ord") or "")
+    m_lower = mention.lower().strip()
+    # 1. exact surface-form equality
+    for ent in ordered:
+        if m_lower in (ent.get("exact_forms") or ()):  # lowered+stripped forms
+            return ent["entity_id"]
+    # 2. normalized equality vs canonical + common mentions
+    m_norm = norm_full(mention)
+    for ent in ordered:
+        if m_norm == norm_full(ent.get("canonical_name") or ""):
+            return ent["entity_id"]
+        for cm in ent.get("common_mentions") or []:
+            if m_norm == norm_full(cm):
+                return ent["entity_id"]
+    # 3. fuzzy best-score (strictly-greater keeps earliest on ties)
+    best, best_score = None, 0.0
+    for ent in ordered:
+        score = _similarity_score(mention, ent)
+        if score > best_score and score >= fuzzy_threshold:
+            best_score, best = score, ent
+    if best is not None:
+        return best["entity_id"]
+    # 4. partial match for long mentions
+    if len(mention) > 10:
+        best, best_score = None, 0.0
+        for ent in ordered:
+            score = _partial_match_score(mention, ent)
+            if score > best_score:
+                best_score, best = score, ent
+        if best is not None and best_score >= fuzzy_threshold:
+            return best["entity_id"]
+    return None
+
+
+# ---------------------------------------------------------------------------
+# catalog enrichment: the columns the cascade needs, built scalably.
+# ---------------------------------------------------------------------------
+
+
+def _bounded_first_k(df, key_cols, order_col, value_col, k, out_col, salt_buckets=64):
+    """First-k values per key by order_col, two-phase (salted) so hot keys
+    never concentrate on one task: per (key, salt) take k, then merge the
+    <= salt_buckets*k survivors per key.  north_rule skew mitigation."""
+    from pyspark.sql import functions as F
+
+    pair = F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("v"))
+    phase1 = (
+        df.withColumn("_salt", F.pmod(F.hash(F.col(order_col)), F.lit(salt_buckets)))
+        .groupBy(*key_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("vals"))
+    )
+    return (
+        phase1.groupBy(*key_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("vals"))), 1, k
+            ).alias("vals")
+        )
+        .select(*key_cols, F.transform("vals", lambda s: s["v"]).alias(out_col))
+    )
+
+
+def linking_catalog(gold_entities_df, catalog_df):
+    """catalog + exact_forms + first20 + created_ord, all via salted
+    two-phase aggregates (no unbounded collect per entity)."""
+    from pyspark.sql import functions as F
+
+    occ = gold_entities_df.select(
+        "url", "entity_id", F.posexplode("mentions").alias("pos", "m")
+    ).select(
+        "url",
+        "entity_id",
+        F.concat(F.col("url"), F.lit("#"), F.format_string("%09d", "pos")).alias("ord"),
+        F.col("m.text").alias("text"),
+    )
+    exact_forms = (
+        occ.select("entity_id", F.lower(F.trim("text")).alias("form"))
+        .distinct()
+        .groupBy("entity_id")
+        .agg(F.collect_set("form").alias("exact_forms"))
+    )
+    first20 = _bounded_first_k(
+        occ, ["entity_id"], "ord", "text", 20, "first20"
+    )
+    created = occ.groupBy("entity_id").agg(F.min("ord").alias("created_ord"))
+    return (
+        catalog_df.join(exact_forms, "entity_id", "left")
+        .join(first20, "entity_id", "left")
+        .join(created, "entity_id", "left")
+    )
+
+
+# ---------------------------------------------------------------------------
+# path 1: document-pruned resolution (reference semantics).
+# ---------------------------------------------------------------------------
+
+_ENT_COLS = [
+    "url",
+    "entity_id",
+    "canonical_name",
+    "common_mentions",
+    "exact_forms",
+    "first20",
+    "created_ord",
+]
+
+
+def doc_candidates(gold_entities_df, linking_catalog_df):
+    """(url, entity rows): each document's entity ids joined with their
+    global catalog rows — the reference's document_entity_ids pruning."""
+    return gold_entities_df.select("url", "entity_id").join(
+        linking_catalog_df, "entity_id"
+    ).select(*_ENT_COLS)
+
+
+def resolve_in_document(pred_df, doc_candidates_df, fuzzy_threshold: float = 0.7):
+    """Fill head_id/tail_id on predictions via the cascade against the
+    document's candidate entities.  Distinct mentions are resolved once per
+    (url) group, then fanned back (the reference re-resolves per occurrence;
+    results are identical because resolution is deterministic per mention)."""
+    from ..schemas import PREDICTED
+
+    def fn(preds_pdf: pd.DataFrame, ents_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(preds_pdf):
+            return pd.DataFrame(columns=[f.name for f in PREDICTED.fields])
+        def aslist(v):
+            # Arrow hands list columns over as numpy arrays; None for null.
+            return [] if v is None else list(v)
+
+        entities = []
+        for r in ents_pdf.to_dict("records"):
+            entities.append(
+                {
+                    "entity_id": r["entity_id"],
+                    "canonical_name": r["canonical_name"],
+                    "common_mentions": aslist(r["common_mentions"]),
+                    "exact_forms": set(aslist(r["exact_forms"])),
+                    "first20": aslist(r["first20"]),
+                    "created_ord": r["created_ord"],
+                }
+            )
+        cache: dict[str, str | None] = {}
+
+        def resolve(m):
+            if m not in cache:
+                cache[m] = resolve_mention_py(m, entities, fuzzy_threshold)
+            return cache[m]
+
+        out = preds_pdf.copy()
+        out["head_id"] = [resolve(m) for m in out["head_mention"]]
+        out["tail_id"] = [resolve(m) for m in out["tail_mention"]]
+        return out[[f.name for f in PREDICTED.fields]]
+
+    return (
+        pred_df.groupBy("url")
+        .cogroup(doc_candidates_df.groupBy("url"))
+        .applyInPandas(fn, schema=PREDICTED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# path 2: global LSH-blocked resolution (scale path).
+# ---------------------------------------------------------------------------
+
+
+def resolve_global_lsh(
+    mentions_df,
+    linking_catalog_df,
+    fuzzy_threshold: float = 0.7,
+    num_hash_tables: int = 6,
+    jaccard_distance: float = 0.6,
+):
+    """mentions(url?, mention) -> (mention, entity_id) via exact join,
+    then MinHash-LSH candidate blocking on character-shingle sets, then the
+    cascade kernel over candidates only.
+
+    Stage A (exact): equi-join on lowered form — a plain shuffle hash join.
+    Stage B (blocked fuzzy): ``MinHashLSH.approxSimilarityJoin`` between
+    distinct unresolved mentions and catalog surface forms, re-scored by
+    ``_similarity_score``; best score wins, creation order breaks ties.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer, NGram
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    distinct = mentions_df.select(F.trim("mention").alias("mention")).where(
+        F.col("mention") != ""
+    ).distinct()
+
+    # Stage A: exact surface-form hit (earliest-created entity wins).
+    forms = linking_catalog_df.select(
+        "entity_id",
+        "created_ord",
+        F.explode("exact_forms").alias("form"),
+    )
+    exact_hit = (
+        distinct.withColumn("form", F.lower(F.col("mention")))
+        .join(forms, "form")
+        .groupBy("mention")
+        .agg(F.min_by("entity_id", "created_ord").alias("entity_id"))
+    )
+
+    unresolved = distinct.join(exact_hit.select("mention"), "mention", "left_anti")
+
+    # Stage B: LSH blocking on 3-char shingles of the normalized text.
+    def shingle_col(c):
+        return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+    cat_names = linking_catalog_df.select(
+        "entity_id",
+        "canonical_name",
+        "common_mentions",
+        "created_ord",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.coalesce(F.col("canonical_name"), F.lit(""))),
+                    F.coalesce(F.col("common_mentions"), F.array()),
+                )
+            )
+        ).alias("name"),
+    ).where(F.length("name") > 0)
+
+    def with_features(df, text_col):
+        tok = RegexTokenizer(
+            inputCol=text_col, outputCol="__chars", pattern="", gaps=False, toLowercase=True
+        )
+        ng = NGram(n=3, inputCol="__chars", outputCol="__shingles")
+        out = ng.transform(tok.transform(df.withColumn(text_col, shingle_col(F.col(text_col)))))
+        return out.where(F.size("__shingles") > 0)
+
+    m_feat = with_features(unresolved.withColumn("mtext", F.col("mention")), "mtext")
+    c_feat = with_features(cat_names.withColumn("ctext", F.col("name")), "ctext")
+
+    cv = CountVectorizer(
+        inputCol="__shingles", outputCol="features", binary=True, minDF=1.0
+    )
+    cv_model = cv.fit(m_feat.select("__shingles").union(c_feat.select("__shingles")))
+    m_vec = cv_model.transform(m_feat).where(_nonzero_vec())
+    c_vec = cv_model.transform(c_feat).where(_nonzero_vec())
+
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=7
+    )
+    lsh_model = lsh.fit(m_vec)
+    pairs = lsh_model.approxSimilarityJoin(
+        m_vec, c_vec, jaccard_distance, distCol="jdist"
+    ).select(
+        F.col("datasetA.mention").alias("mention"),
+        F.col("datasetB.entity_id").alias("entity_id"),
+        F.col("datasetB.canonical_name").alias("canonical_name"),
+        F.col("datasetB.common_mentions").alias("common_mentions"),
+        F.col("datasetB.created_ord").alias("created_ord"),
+    ).dropDuplicates(["mention", "entity_id"])
+
+    # Re-score candidates with the reference kernel (vectorized pandas UDF).
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cascade_score(mention: pd.Series, canonical: pd.Series, commons: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _similarity_score(
+                    m, {"canonical_name": c, "common_mentions": list(cm or [])}
+                )
+                for m, c, cm in zip(mention, canonical, commons)
+            ]
+        )
+
+    scored = pairs.withColumn(
+        "score", cascade_score("mention", "canonical_name", "common_mentions")
+    ).where(F.col("score") >= fuzzy_threshold)
+    w = Window.partitionBy("mention").orderBy(
+        F.col("score").desc(), F.col("created_ord").asc()
+    )
+    fuzzy_hit = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("mention", "entity_id")
+    )
+    return exact_hit.unionByName(fuzzy_hit)
+
+
+def _nonzero_vec():
+    from pyspark.sql import functions as F
+
+    # MinHashLSH requires at least one non-zero entry.
+    from pyspark.ml.functions import vector_to_array
+
+    return F.size(F.filter(vector_to_array(F.col("features")), lambda v: v != 0)) > 0

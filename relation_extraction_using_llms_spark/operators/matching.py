@@ -1,0 +1,568 @@
+"""Prediction↔gold matching — the 9 strategies (SURVEY.md §2.9).
+
+All strategies share a greedy sequential bipartite skeleton: predictions in
+parse order, each scored against every not-yet-matched gold relation, argmax
+wins if above threshold; unmatched gold -> FN.  The semantics are
+order-dependent (a gold consumed by an earlier prediction is unavailable to
+later ones), which forces per-document Python — expressed as a cogrouped
+``applyInPandas`` keyed by url, the idiomatic Spark shape for per-group
+imperative logic.  Documents are independent, so this parallelizes linearly
+with partitions; there are no cross-document keys and therefore no skew
+(the heaviest doc bounds a task, not a partition).
+
+Strategy semantics mirror (not copy):
+  exact        pipeline/evaluation/matcher.py:19-179 (ID equality)
+  fuzzy        pipeline/evaluation/fuzzy_matcher.py:22-151 (SequenceMatcher on IDs)
+  text         pipeline/evaluation/text_matcher.py:24-386
+  jaccard      matchers/jaccard_matcher.py:59-253
+  token        matchers/token_matcher.py:63-242
+  levenshtein  matchers/levenshtein_matcher.py:62-236
+  jaro_winkler matchers/jaro_winkler_matcher.py:55-210
+  sbert        matchers/sbert_matcher.py (cosine kernel; embedder pluggable)
+  ensemble     matchers/ensemble_matcher.py (weighted member kernels)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterable
+
+import pandas as pd
+
+from ..functions import simkernels as K
+from ..functions.textnorm import norm_ws, seq_ratio, text_similarity
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+
+def _hash_embed(text: str, dim: int = 64) -> list[float]:
+    """Deterministic bag-of-ngrams hashed embedding — the stand-in for the
+    served sbert/OpenAI embedding models (absent in this environment).  The
+    matcher plumbing (embed-once, cosine kernel) is real; swap this function
+    for a served-model call in deployment."""
+    vec = [0.0] * dim
+    t = norm_ws(text)
+    for n in (3, 4):
+        for i in range(len(t) - n + 1):
+            h = int.from_bytes(hashlib.md5(t[i : i + n].encode()).digest()[:4], "big")
+            vec[h % dim] += 1.0
+    norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+    return [v / norm for v in vec]
+
+
+def _cosine_similarity(t1: str, t2: str) -> float:
+    if not t1 or not t2:
+        return 0.0
+    n1, n2 = norm_ws(t1), norm_ws(t2)
+    if n1 == n2:
+        return 1.0
+    a, b = _hash_embed(t1), _hash_embed(t2)
+    return max(0.0, sum(x * y for x, y in zip(a, b)))
+
+
+TEXT_KERNELS = {
+    "text": text_similarity,
+    "jaccard": K.jaccard_similarity,
+    "token": K.token_similarity,
+    "levenshtein": K.levenshtein_similarity,
+    "jaro_winkler": K.jaro_winkler_similarity,
+    "sbert": _cosine_similarity,
+    "bertscore": _cosine_similarity,
+}
+
+DEFAULT_THRESHOLDS = {
+    # matchers/registry.py:160-217
+    "exact": 1.0,
+    "text": 0.7,  # fuzzy_threshold governs when use_bertscore=False
+    "fuzzy": 0.7,
+    "jaccard": 0.7,
+    "token": 0.7,
+    "levenshtein": 0.7,
+    "jaro_winkler": 0.7,
+    "sbert": 0.7,
+    "bertscore": 0.85,
+    "ensemble": 0.7,
+}
+
+ALL_STRATEGIES = list(DEFAULT_THRESHOLDS)
+
+
+def ensemble_kernel(members=("text", "jaccard", "levenshtein"), weights=None):
+    ks = [TEXT_KERNELS[m] for m in members]
+    ws = weights or [1.0] * len(ks)
+    total = sum(ws)
+    ws = [w / total for w in ws]
+
+    def kernel(t1: str, t2: str) -> float:
+        return sum(w * k(t1, t2) for w, k in zip(ws, ks))
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# pure-python match cores.
+# preds: list of dicts (head_mention, tail_mention, relation_type, head_id,
+#        tail_id); golds: list of dicts (rel_id, head_id, tail_id, rel_type,
+#        head_mentions: list[str], tail_mentions: list[str]).
+# Return: list of detail dicts {kind: tp|semantic|fp|fn, pred, gold, score}.
+# ---------------------------------------------------------------------------
+
+
+def match_exact(preds: list[dict], golds: list[dict], match_type: bool) -> list[dict]:
+    """ID-equality greedy matching (matcher.py:19-179).  Bidirectional;
+    partial (entities match, type differs) -> semantic score 0.5; FN = gold
+    whose tuple was never TP-matched (partials do NOT consume gold)."""
+
+    def tup(h, t, ty):
+        return (h, t, ty if match_type else None)
+
+    def tuples_eq(p, g):
+        fwd = p[0] == g[0] and p[1] == g[1]
+        rev = p[0] == g[1] and p[1] == g[0]
+        ty_ok = p[2] is None or g[2] is None or p[2] == g[2]
+        return (fwd or rev) and ty_ok
+
+    matched: set = set()
+    details: list[dict] = []
+    for p in preds:
+        if not p.get("head_id") or not p.get("tail_id"):
+            details.append({"kind": "fp", "pred": p, "gold": None, "score": 0.0})
+            continue
+        ptup = tup(p["head_id"], p["tail_id"], p["relation_type"])
+        hit = None
+        partial = None
+        for g in golds:
+            gtup = tup(g["head_id"], g["tail_id"], g["rel_type"])
+            if tuples_eq(ptup, gtup):
+                if gtup not in matched:
+                    matched.add(gtup)
+                    hit = g
+                    break
+            elif match_type and (
+                (p["head_id"] == g["head_id"] and p["tail_id"] == g["tail_id"])
+                or (p["head_id"] == g["tail_id"] and p["tail_id"] == g["head_id"])
+            ):
+                partial = g  # last one wins (matcher.py:73-75)
+        if hit is not None:
+            details.append({"kind": "tp", "pred": p, "gold": hit, "score": 1.0})
+        elif partial is not None:
+            details.append({"kind": "semantic", "pred": p, "gold": partial, "score": 0.5})
+        else:
+            details.append({"kind": "fp", "pred": p, "gold": None, "score": 0.0})
+    for g in golds:
+        if tup(g["head_id"], g["tail_id"], g["rel_type"]) not in matched:
+            details.append({"kind": "fn", "pred": None, "gold": g, "score": 0.0})
+    return details
+
+
+def _id_sim(a: str | None, b: str | None) -> float:
+    if not a or not b:
+        return 0.0
+    na, nb = a.lower().strip(), b.lower().strip()
+    if na == nb:
+        return 1.0
+    return seq_ratio(na, nb)
+
+
+def match_fuzzy_ids(
+    preds: list[dict], golds: list[dict], match_type: bool, threshold: float = 0.7
+) -> list[dict]:
+    """SequenceMatcher-on-IDs greedy matching (fuzzy_matcher.py:22-151).
+    Partials (type differs) carry score 0.5 via the adapter
+    (fuzzy_matcher_adapter.py:96-104); they do not consume gold."""
+    matched_idx: set[int] = set()
+    details: list[dict] = []
+    for p in preds:
+        if not p.get("head_id") or not p.get("tail_id"):
+            details.append({"kind": "fp", "pred": p, "gold": None, "score": 0.0})
+            continue
+        best_idx = None
+        best_sim = 0.0
+        partial = None
+        for idx, g in enumerate(golds):
+            if idx in matched_idx:
+                continue
+            hs, ts = _id_sim(p["head_id"], g["head_id"]), _id_sim(p["tail_id"], g["tail_id"])
+            rhs, rts = _id_sim(p["head_id"], g["tail_id"]), _id_sim(p["tail_id"], g["head_id"])
+            fwd = hs >= threshold and ts >= threshold
+            rev = rhs >= threshold and rts >= threshold
+            if not (fwd or rev):
+                continue
+            sim = (hs + ts) / 2.0 if fwd else (rhs + rts) / 2.0
+            if (not match_type) or p["relation_type"] == g["rel_type"]:
+                if sim > best_sim:
+                    best_sim, best_idx = sim, idx
+            else:
+                if partial is None or sim > best_sim:
+                    partial, best_sim = g, sim
+        if best_idx is not None:
+            matched_idx.add(best_idx)
+            details.append({"kind": "tp", "pred": p, "gold": golds[best_idx], "score": best_sim})
+        elif partial is not None:
+            details.append({"kind": "semantic", "pred": p, "gold": partial, "score": 0.5})
+        else:
+            details.append({"kind": "fp", "pred": p, "gold": None, "score": 0.0})
+    for idx, g in enumerate(golds):
+        if idx not in matched_idx:
+            details.append({"kind": "fn", "pred": None, "gold": g, "score": 0.0})
+    return details
+
+
+def _gold_text_pairs(g: dict) -> list[tuple[str, str]]:
+    """All (head_mention, tail_mention) combinations of a gold relation
+    (text_matcher.py:54-103); entity ids as fallback surface forms."""
+    heads = g.get("head_mentions") or [g["head_id"]]
+    tails = g.get("tail_mentions") or [g["tail_id"]]
+    return [(h, t) for h in heads for t in tails]
+
+
+def _pair_score(kernel, p, gh, gt, gtype, match_type) -> float:
+    """Forward/reverse weighted score for one mention combination
+    (text_matcher.py:218-276 weighting: 0.4/0.4/0.2 with type, 0.5/0.5
+    entity-only)."""
+    hs, ts = kernel(p["head_mention"], gh), kernel(p["tail_mention"], gt)
+    rhs, rts = kernel(p["head_mention"], gt), kernel(p["tail_mention"], gh)
+    tm = 1.0 if (not match_type) or (p["relation_type"] or "").upper() == (gtype or "").upper() else 0.0
+    if match_type:
+        fwd = 0.4 * hs + 0.4 * ts + 0.2 * tm
+        rev = 0.4 * rhs + 0.4 * rts + 0.2 * tm
+    else:
+        fwd = 0.5 * hs + 0.5 * ts
+        rev = 0.5 * rhs + 0.5 * rts
+    return max(fwd, rev)
+
+
+def match_text(
+    preds: list[dict], golds: list[dict], match_type: bool, threshold: float = 0.7
+) -> list[dict]:
+    """The default 'text' strategy (text_matcher.py:282-386): best gold by
+    max over mention combinations; >=0.70 + type match -> TP, else semantic;
+    both consume the gold."""
+    usable = [g for g in golds if _gold_text_pairs(g)]
+    matched: set[str] = set()
+    details: list[dict] = []
+    for p in preds:
+        best_g = None
+        best_score = 0.0
+        for g in usable:
+            if g["rel_id"] in matched:
+                continue
+            score = max(
+                (
+                    _pair_score(text_similarity, p, gh, gt, g["rel_type"], match_type)
+                    for gh, gt in _gold_text_pairs(g)
+                ),
+                default=0.0,
+            )
+            if score > best_score:
+                best_score, best_g = score, g
+        if best_g is not None and best_score >= threshold:
+            matched.add(best_g["rel_id"])
+            type_ok = (not match_type) or (
+                (p["relation_type"] or "").upper() == (best_g["rel_type"] or "").upper()
+            )
+            if best_score >= 0.70 and type_ok:
+                details.append({"kind": "tp", "pred": p, "gold": best_g, "score": best_score})
+            else:
+                details.append({"kind": "semantic", "pred": p, "gold": best_g, "score": best_score})
+        else:
+            details.append({"kind": "fp", "pred": p, "gold": None, "score": best_score})
+    for g in golds:
+        if g["rel_id"] not in matched:
+            details.append({"kind": "fn", "pred": None, "gold": g, "score": 0.0})
+    return details
+
+
+def _family_pair_score(kernel, p, gh, gt, gtype, match_type) -> float:
+    """jaccard-family weighting (jaccard_matcher.py:196-221): with type
+    0.35/0.35/0.3; entity-only 0.6*avg + 0.4*max."""
+    hs, ts = kernel(p["head_mention"], gh), kernel(p["tail_mention"], gt)
+    rhs, rts = kernel(p["head_mention"], gt), kernel(p["tail_mention"], gh)
+    if match_type:
+        tm = 1.0 if (p["relation_type"] or "").upper() == (gtype or "").upper() else 0.0
+        fwd = 0.35 * hs + 0.35 * ts + 0.3 * tm
+        rev = 0.35 * rhs + 0.35 * rts + 0.3 * tm
+    else:
+        fwd = 0.6 * ((hs + ts) / 2.0) + 0.4 * max(hs, ts)
+        rev = 0.6 * ((rhs + rts) / 2.0) + 0.4 * max(rhs, rts)
+    return max(fwd, rev)
+
+
+def match_family(
+    preds: list[dict],
+    golds: list[dict],
+    kernel,
+    match_type: bool,
+    threshold: float = 0.7,
+) -> list[dict]:
+    """Shared skeleton of jaccard/token/levenshtein/jaro_winkler/sbert/
+    bertscore/ensemble (jaccard_matcher.py:148-253): TP iff best score >=
+    threshold AND type matches (when required); else semantic; both consume."""
+    usable = [g for g in golds if _gold_text_pairs(g)]
+    matched: set[str] = set()
+    details: list[dict] = []
+    for p in preds:
+        best_g = None
+        best_score = 0.0
+        for g in usable:
+            if g["rel_id"] in matched:
+                continue
+            score = max(
+                (
+                    _family_pair_score(kernel, p, gh, gt, g["rel_type"], match_type)
+                    for gh, gt in _gold_text_pairs(g)
+                ),
+                default=0.0,
+            )
+            if score > best_score:
+                best_score, best_g = score, g
+        if best_g is not None and best_score >= threshold:
+            matched.add(best_g["rel_id"])
+            type_ok = (not match_type) or (
+                (p["relation_type"] or "").upper() == (best_g["rel_type"] or "").upper()
+            )
+            if type_ok:
+                details.append({"kind": "tp", "pred": p, "gold": best_g, "score": best_score})
+            else:
+                details.append({"kind": "semantic", "pred": p, "gold": best_g, "score": best_score})
+        else:
+            details.append({"kind": "fp", "pred": p, "gold": None, "score": best_score})
+    for g in golds:
+        if g["rel_id"] not in matched:
+            details.append({"kind": "fn", "pred": None, "gold": g, "score": 0.0})
+    return details
+
+
+def run_strategy(
+    strategy: str,
+    preds: list[dict],
+    golds: list[dict],
+    match_type: bool,
+    threshold: float | None = None,
+) -> list[dict]:
+    thr = DEFAULT_THRESHOLDS.get(strategy, 0.7) if threshold is None else threshold
+    if strategy == "exact":
+        return match_exact(preds, golds, match_type)
+    if strategy == "fuzzy":
+        return match_fuzzy_ids(preds, golds, match_type, thr)
+    if strategy == "text":
+        return match_text(preds, golds, match_type, thr)
+    if strategy == "ensemble":
+        return match_family(preds, golds, ensemble_kernel(), match_type, thr)
+    return match_family(preds, golds, TEXT_KERNELS[strategy], match_type, thr)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface: cogrouped applyInPandas keyed by url.
+# ---------------------------------------------------------------------------
+
+_PRED_COLS = [
+    "url",
+    "technique",
+    "model",
+    "pred_index",
+    "head_mention",
+    "tail_mention",
+    "relation_type",
+    "head_id",
+    "tail_id",
+]
+
+EVAL_COUNTS_SCHEMA = (
+    "url string, technique string, model string, strategy string,"
+    " with_types boolean, tp int, fp int, fn int, n_semantic int,"
+    " n_partial int, semantic_sum double, n_gold int, n_pred int"
+)
+
+EVAL_DETAILS_SCHEMA = (
+    "url string, technique string, model string, strategy string,"
+    " with_types boolean, kind string, pred_head string, pred_tail string,"
+    " pred_type string, pred_head_id string, pred_tail_id string,"
+    " gold_rel_id string, gold_head_id string, gold_tail_id string,"
+    " gold_type string, score double"
+)
+
+
+def gold_bundle(gold_relations_df, gold_entities_df):
+    """One row per gold relation with head/tail surface-form arrays —
+    the input the text-family matchers need (convert_gold_relation_to_text,
+    text_matcher.py:54-103)."""
+    from pyspark.sql import functions as F
+
+    ents = gold_entities_df.select(
+        "url",
+        "entity_id",
+        F.transform("mentions", lambda m: m["text"]).alias("texts"),
+    )
+    return (
+        gold_relations_df.alias("r")
+        .join(
+            ents.alias("h"),
+            (F.col("r.url") == F.col("h.url")) & (F.col("r.head_id") == F.col("h.entity_id")),
+            "left",
+        )
+        .join(
+            ents.alias("t"),
+            (F.col("r.url") == F.col("t.url")) & (F.col("r.tail_id") == F.col("t.entity_id")),
+            "left",
+        )
+        .select(
+            "r.url",
+            "r.rel_id",
+            "r.head_id",
+            "r.tail_id",
+            "r.rel_type",
+            F.col("h.texts").alias("head_mentions"),
+            F.col("t.texts").alias("tail_mentions"),
+        )
+    )
+
+
+def _pred_records(pdf: pd.DataFrame) -> list[dict]:
+    recs = pdf.sort_values("pred_index").to_dict("records")
+    for r in recs:
+        if pd.isna(r.get("head_id")):
+            r["head_id"] = None
+        if pd.isna(r.get("tail_id")):
+            r["tail_id"] = None
+    return recs
+
+
+def _gold_records(pdf: pd.DataFrame) -> list[dict]:
+    recs = pdf.sort_values("rel_id").to_dict("records")
+    for r in recs:
+        hm, tm = r.get("head_mentions"), r.get("tail_mentions")
+        r["head_mentions"] = list(hm) if hm is not None and len(hm) else []
+        r["tail_mentions"] = list(tm) if tm is not None and len(tm) else []
+    return recs
+
+
+def _combos_of(preds_pdf: pd.DataFrame, combos: list | None):
+    if combos is not None:
+        return combos
+    return sorted(set(zip(preds_pdf["technique"], preds_pdf["model"])))
+
+
+def evaluate_counts_df(
+    pred_df,
+    gold_bundle_df,
+    strategies: Iterable[str] = ("exact", "text", "jaccard"),
+    with_types_variants: Iterable[bool] = (True, False),
+    combos: list[tuple[str, str]] | None = None,
+    thresholds: dict | None = None,
+):
+    """Per-(url, combo, strategy, with_types) match counts.
+
+    ``combos`` should list every (technique, model) evaluated so documents
+    with zero predictions for a combo still yield a row (they feed the
+    failed-doc filter, aggregator.py:46-91).
+    """
+    strategies = list(strategies)
+    wt_variants = list(with_types_variants)
+    thresholds = thresholds or {}
+
+    def fn(preds_pdf: pd.DataFrame, gold_pdf: pd.DataFrame) -> pd.DataFrame:
+        url = (
+            preds_pdf["url"].iloc[0] if len(preds_pdf) else gold_pdf["url"].iloc[0]
+        )
+        golds = _gold_records(gold_pdf)
+        out = []
+        for tech, model in _combos_of(preds_pdf, combos):
+            sub = preds_pdf[(preds_pdf["technique"] == tech) & (preds_pdf["model"] == model)]
+            preds = _pred_records(sub)
+            for strategy in strategies:
+                for wt in wt_variants:
+                    details = run_strategy(
+                        strategy, preds, golds, wt, thresholds.get(strategy)
+                    )
+                    sem = [d for d in details if d["kind"] == "semantic"]
+                    n_partial = sum(1 for d in sem if 0.5 <= d["score"] < 0.95)
+                    out.append(
+                        {
+                            "url": url,
+                            "technique": tech,
+                            "model": model,
+                            "strategy": strategy,
+                            "with_types": wt,
+                            "tp": sum(1 for d in details if d["kind"] == "tp"),
+                            "fp": sum(1 for d in details if d["kind"] == "fp"),
+                            "fn": sum(1 for d in details if d["kind"] == "fn"),
+                            "n_semantic": len(sem),
+                            "n_partial": n_partial,
+                            "semantic_sum": float(sum(d["score"] for d in sem)),
+                            "n_gold": len(golds),
+                            "n_pred": len(preds),
+                        }
+                    )
+        return pd.DataFrame(out)
+
+    return (
+        pred_df.select(*_PRED_COLS)
+        .groupBy("url")
+        .cogroup(gold_bundle_df.groupBy("url"))
+        .applyInPandas(fn, schema=EVAL_COUNTS_SCHEMA)
+    )
+
+
+def evaluate_details_df(
+    pred_df,
+    gold_bundle_df,
+    strategies: Iterable[str] = ("exact", "text", "jaccard"),
+    with_types: bool = True,
+    combos: list[tuple[str, str]] | None = None,
+    thresholds: dict | None = None,
+):
+    """Per-prediction/gold detailed match records (evaluator.py:269-361,
+    document_exporter.py) — also the input for per-type metrics (Q7)."""
+    strategies = list(strategies)
+    thresholds = thresholds or {}
+
+    def fn(preds_pdf: pd.DataFrame, gold_pdf: pd.DataFrame) -> pd.DataFrame:
+        url = (
+            preds_pdf["url"].iloc[0] if len(preds_pdf) else gold_pdf["url"].iloc[0]
+        )
+        golds = _gold_records(gold_pdf)
+        rows = []
+        for tech, model in _combos_of(preds_pdf, combos):
+            sub = preds_pdf[(preds_pdf["technique"] == tech) & (preds_pdf["model"] == model)]
+            preds = _pred_records(sub)
+            for strategy in strategies:
+                details = run_strategy(
+                    strategy, preds, golds, with_types, thresholds.get(strategy)
+                )
+                for d in details:
+                    p, g = d["pred"] or {}, d["gold"] or {}
+                    rows.append(
+                        {
+                            "url": url,
+                            "technique": tech,
+                            "model": model,
+                            "strategy": strategy,
+                            "with_types": with_types,
+                            "kind": d["kind"],
+                            "pred_head": p.get("head_mention"),
+                            "pred_tail": p.get("tail_mention"),
+                            "pred_type": p.get("relation_type"),
+                            "pred_head_id": p.get("head_id"),
+                            "pred_tail_id": p.get("tail_id"),
+                            "gold_rel_id": g.get("rel_id"),
+                            "gold_head_id": g.get("head_id"),
+                            "gold_tail_id": g.get("tail_id"),
+                            "gold_type": g.get("rel_type"),
+                            "score": float(d["score"]),
+                        }
+                    )
+        return pd.DataFrame(
+            rows,
+            columns=[f.split()[0] for f in EVAL_DETAILS_SCHEMA.split(",")],
+        )
+
+    return (
+        pred_df.select(*_PRED_COLS)
+        .groupBy("url")
+        .cogroup(gold_bundle_df.groupBy("url"))
+        .applyInPandas(fn, schema=EVAL_DETAILS_SCHEMA)
+    )

@@ -167,6 +167,18 @@ def gen_doc(doc_id: int, text: str, lang: str) -> dict:
                         }
                         for p in passages
                     ],
+                    "relations": [
+                        {
+                            "id": r["id"],
+                            "infons": {
+                                "entity1": r["head_id"],
+                                "entity2": r["tail_id"],
+                                "type": r["type"],
+                                "novel": r["novel"],
+                            },
+                        }
+                        for r in relations
+                    ],
                 }
             ]
         }

@@ -1,0 +1,158 @@
+"""Gold normalization (G1-G3) and entity catalog (E1/E2) parity vs the
+real reference code on identical BioC payloads."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from relation_extraction_using_llms_spark.sources import synthetic
+from tests.ref_oracle import ref_module, ref_setup_module
+
+ref_gold = ref_setup_module("generate_gold_relations.py")
+ref_entity_map_mod = ref_module("pipeline.data.entity_map")
+ref_types = ref_module("pipeline.types")
+
+
+def _docs(n=60):
+    return pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pylist()[:n]
+
+
+def _bioc_doc(doc):
+    return json.loads(doc["html"].decode())["documents"][0]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return [
+        synthetic.gen_doc(r["doc_id"], r["text"], r["lang"]) for r in _docs()
+    ]
+
+
+def test_gold_entities_parity(spark, sf_dir, corpus):
+    from relation_extraction_using_llms_spark.operators.gold_normalize import (
+        gold_entities,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    urls = {d["url"] for d in corpus}
+    pages = pages_df(spark, sf_dir)
+    ours = {
+        (r["url"], r["entity_id"]): r
+        for r in gold_entities(pages).collect()
+        if r["url"] in urls
+    }
+    for doc in corpus:
+        ref_entities = ref_gold.collect_entities(_bioc_doc(doc)["passages"])
+        for eid, ent in ref_entities.items():
+            row = ours[(doc["url"], eid)]
+            assert row["entity_type"] == ent["type"]
+            got = [
+                (
+                    m["text"],
+                    m["passage_index"],
+                    m["passage_offset"],
+                    m["char_offset"],
+                    m["length"],
+                )
+                for m in row["mentions"]
+            ]
+            want = [
+                (
+                    m["text"],
+                    m["passage_index"],
+                    m["passage_offset"],
+                    m["char_offset"],
+                    m["length"],
+                )
+                for m in ent["mentions"]
+            ]
+            assert got == want, (doc["url"], eid)
+    ref_keys = {
+        (doc["url"], eid)
+        for doc in corpus
+        for eid in ref_gold.collect_entities(_bioc_doc(doc)["passages"])
+    }
+    assert {k for k in ours if k[0] in urls} == ref_keys
+
+
+def test_gold_relations_parity(spark, sf_dir, corpus):
+    from relation_extraction_using_llms_spark.operators.gold_normalize import (
+        gold_relations,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    urls = {d["url"] for d in corpus}
+    pages = pages_df(spark, sf_dir)
+    ours = {}
+    for r in gold_relations(pages).collect():
+        if r["url"] in urls:
+            ours.setdefault(r["url"], []).append(
+                (r["rel_id"], r["head_id"], r["tail_id"], r["rel_type"], r["novel"])
+            )
+    n_filtered = 0
+    for doc in corpus:
+        bdoc = _bioc_doc(doc)
+        rels = ref_gold.collect_relations(bdoc)
+        ent_ids = set(ref_gold.collect_entities(bdoc["passages"]).keys())
+        kept = [
+            (r["id"], r["head_id"], r["tail_id"], r["type"], r["novel"])
+            for r in rels
+            if r["head_id"] in ent_ids and r["tail_id"] in ent_ids
+        ]
+        n_filtered += len(rels) - len(kept)
+        assert sorted(ours.get(doc["url"], [])) == sorted(kept), doc["url"]
+    assert n_filtered > 0  # corpus exercises the G3 integrity filter
+
+
+def test_entity_catalog_parity(spark, sf_dir, corpus):
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        entity_catalog,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import (
+        gold_entities_df,
+    )
+
+    # Reference GlobalEntityMap fed with docs in sorted-url order (its
+    # insertion-order ties come from sorted file globs).
+    gr_list = []
+    for doc in sorted(corpus, key=lambda d: d["url"]):
+        entities = []
+        for e in doc["entities"]:
+            mentions = [
+                ref_types.Mention(
+                    text=m, passage_index=0, passage_offset=0, char_offset=0, length=len(m)
+                )
+                for m in e["mentions"]
+            ]
+            entities.append(
+                ref_types.Entity(id=e["id"], type=e["type"], mentions=mentions)
+            )
+        gr_list.append(
+            ref_types.GoldRelations(
+                doc_id=doc["url"], entities=entities, relations=[], title="", body="",
+                file_path="",
+            )
+        )
+    ref_map = ref_entity_map_mod.GlobalEntityMap()
+    ref_map.build_from_gold_relations(gr_list)
+
+    urls = {d["url"] for d in corpus}
+    ents_all = gold_entities_df(spark, sf_dir)
+    ents = ents_all.where(ents_all["url"].isin(urls))
+    ours = {r["entity_id"]: r for r in entity_catalog(ents).collect()}
+
+    assert set(ours) == set(ref_map.entities)
+    n_tie_rich = 0
+    for eid, ge in ref_map.entities.items():
+        row = ours[eid]
+        assert row["entity_type"] == ge.type, eid
+        assert row["canonical_name"] == ge.canonical_name, eid
+        assert list(row["common_mentions"]) == ge.common_mentions, eid
+        assert row["mention_count"] == len(ge.all_mentions)
+        assert row["document_count"] == ge.document_count
+        if len(set(m.text for m in ge.all_mentions)) > 3:
+            n_tie_rich += 1
+    assert n_tie_rich > 5  # ties/top-k actually exercised
