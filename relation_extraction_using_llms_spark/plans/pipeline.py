@@ -1,0 +1,96 @@
+"""End-to-end pipeline plan (SURVEY.md §3.1 re-architected).
+
+    pages --extract--> clean_text --xconfigs--> prompts --model--> responses
+          --parse--> triples --link--> resolved triples
+          --canonicalize--> (subj, pred, obj) tables
+          --match vs gold--> eval_per_doc --agg--> eval_aggregate / rankings
+
+One declarative lineage; stage boundaries exist only where the cache /
+ledger materializes a table (the checkpoint-resume points).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..functions.extraction import clean_text_df
+from ..functions.parsing import parse_errors_df, parsed_triples_df
+from ..functions.prompts import build_prompts, configs_df
+from ..operators.aggregate import aggregate_results
+from ..operators.entity_catalog import entity_catalog
+from ..operators.gold_normalize import gold_entities, gold_relations
+from ..operators.linking import doc_candidates, linking_catalog, resolve_in_document
+from ..operators.matching import evaluate_counts_df, gold_bundle
+from ..operators.metrics import eval_per_doc
+from ..sources.llm_cache import fetch_and_cache
+
+
+@dataclass
+class PipelineConfig:
+    techniques: list = field(default_factory=lambda: ["IO", "CoT", "ReAct", "RAG"])
+    modes: list = field(default_factory=lambda: ["improved"])
+    models: list = field(default_factory=lambda: ["stub-small", "stub-large"])
+    strategies: list = field(default_factory=lambda: ["exact", "text", "jaccard"])
+    with_types_variants: tuple = (True, False)
+    cache_path: str | None = None
+    lang: str | None = None  # optional pages-language filter (pushed down)
+
+
+def run_pipeline(
+    spark,
+    pages: DataFrame,
+    config: PipelineConfig | None = None,
+    model_fn=None,
+) -> dict[str, DataFrame]:
+    """Build the full lineage; returns the named stage DataFrames (all
+    lazy except what the response cache materializes)."""
+    cfg = config or PipelineConfig()
+    if cfg.lang:
+        from pyspark.sql import functions as F
+
+        pages = pages.where(F.col("lang") == cfg.lang)
+
+    clean = clean_text_df(pages)
+    prompts = build_prompts(
+        clean.select("url", "text"),
+        configs_df(spark, cfg.techniques, cfg.modes, cfg.models),
+    )
+    responses = fetch_and_cache(prompts, cfg.cache_path, model_fn)
+    responses_with_text = responses.join(clean.select("url", "text"), "url")
+    triples = parsed_triples_df(responses_with_text)
+    errors = parse_errors_df(responses_with_text)
+
+    ents = gold_entities(pages)
+    catalog = entity_catalog(ents)
+    link_cat = linking_catalog(ents, catalog)
+    resolved = resolve_in_document(triples, doc_candidates(ents, link_cat))
+
+    gold_rels = gold_relations(pages, ents)
+    bundle = gold_bundle(gold_rels, ents)
+    combos = [(t, m) for t in cfg.techniques for m in cfg.models]
+    counts = evaluate_counts_df(
+        resolved,
+        bundle,
+        strategies=cfg.strategies,
+        with_types_variants=cfg.with_types_variants,
+        combos=combos,
+    )
+    per_doc = eval_per_doc(counts, resolved, gold_rels)
+    agg = aggregate_results(per_doc)
+
+    return {
+        "clean_text": clean,
+        "prompts": prompts,
+        "responses": responses,
+        "triples": triples,
+        "errors": errors,
+        "gold_entities": ents,
+        "entity_catalog": catalog,
+        "resolved": resolved,
+        "gold_relations": gold_rels,
+        "counts": counts,
+        "eval_per_doc": per_doc,
+        "eval_aggregate": agg,
+    }
