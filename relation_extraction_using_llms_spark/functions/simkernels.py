@@ -14,6 +14,7 @@ Each ``*_similarity`` entry point reproduces one matcher's
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from .textnorm import norm_ws
 
@@ -192,6 +193,7 @@ def _partial_token_set(pa: str, pb: str) -> float:
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=1 << 16)
 def jaccard_similarity(t1: str, t2: str) -> float:
     """jaccard_matcher.py:60-105: token Jaccard with subset boost 0.75 and
     substring boost 0.80; normalized equality -> 1.0."""
@@ -213,6 +215,7 @@ def jaccard_similarity(t1: str, t2: str) -> float:
     return sim
 
 
+@lru_cache(maxsize=1 << 16)
 def token_similarity(t1: str, t2: str) -> float:
     """token_matcher.py:63-122: max(token_set, partial, WRatio) with
     substring boost 0.80 and token-subset boost 0.75."""
@@ -230,6 +233,7 @@ def token_similarity(t1: str, t2: str) -> float:
     return sim
 
 
+@lru_cache(maxsize=1 << 16)
 def levenshtein_similarity(t1: str, t2: str) -> float:
     """levenshtein_matcher.py:62-118: indel ratio on normalized text with
     containment floor 0.80."""
@@ -242,6 +246,7 @@ def levenshtein_similarity(t1: str, t2: str) -> float:
     return max(base, indel_ratio(n1, n2))
 
 
+@lru_cache(maxsize=1 << 16)
 def jaro_winkler_similarity(t1: str, t2: str) -> float:
     """jaro_winkler_matcher.py:55-90: JW on normalized text with
     containment floor 0.80."""

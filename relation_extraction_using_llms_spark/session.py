@@ -47,7 +47,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is byte-based and blind to Python-CPU-heavy
+        # applyInPandas stages: it collapsed the (small-bytes, big-CPU)
+        # resolution shuffle to ~1 partition, serializing the cascade
+        # (measured 23s -> 4s on sf0.1 by disabling).  We size
+        # shuffle_partitions explicitly instead; skew-join stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

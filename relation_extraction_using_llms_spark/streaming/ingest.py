@@ -1,0 +1,72 @@
+"""Incremental ingest via Structured Streaming (SURVEY.md §2.13).
+
+The reference is strictly batch; incremental arrival of new crawl pages is
+the one streaming-shaped concern the web-scale graft adds.  Design:
+``readStream`` over the pages table directory with
+``Trigger.AvailableNow`` — each run drains whatever new files exist, writes
+extraction output exactly-once via checkpointing, then stops.  The same
+transformation (``clean_text_df``) serves batch and stream: extraction is a
+stateless mapInPandas, so the streaming plan is identical.
+
+``events_hourly_stream`` shows the stateful path: watermarked tumbling
+window over the events stream (late data beyond the watermark dropped) —
+the streaming twin of the batch ``events_hourly`` query in
+__spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extraction import extract_batches
+from ..schemas import CLEAN_TEXT, PAGES
+
+
+def stream_pages(spark, pages_path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(pages_path)
+    )
+
+
+def stream_clean_text(pages_stream: DataFrame) -> DataFrame:
+    """Same extraction stage, streaming plan (stateless mapInPandas)."""
+    return pages_stream.select("url", "html").mapInPandas(
+        extract_batches, schema=CLEAN_TEXT
+    )
+
+
+def run_available_now(
+    spark, pages_path: str, out_path: str, checkpoint_path: str
+):
+    """Drain currently-available page files exactly once and stop.
+    Re-running after new files arrive processes only the delta (the
+    checkpoint tracks consumed files) — the streaming analogue of the
+    batch ledger's anti-join resume."""
+    q = (
+        stream_clean_text(stream_pages(spark, pages_path))
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def events_hourly_stream(events_stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregate over an events stream:
+    1-hour windows, 2-hour lateness tolerance."""
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,99 @@
+"""Report sinks (S8) and prompt construction (P1-P8)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from relation_extraction_using_llms_spark.functions.prompts import (
+    MODES,
+    TECHNIQUES,
+    build_prompts,
+    configs_df,
+    template_hash,
+    template_parts,
+)
+
+
+def test_template_variants_distinct():
+    seen = set()
+    for t in TECHNIQUES:
+        for m in MODES:
+            pre, suf = template_parts(t, m)
+            assert "{doc_id}" in pre
+            seen.add((pre, suf))
+            assert template_hash(t, m) not in (None, "")
+    assert len(seen) == 12  # 4 techniques x 3 modes all distinct
+
+
+def test_build_prompts_fanout_and_content(spark, sf_dir):
+    from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    clean = clean_text_df(pages_df(spark, sf_dir).limit(10)).select("url", "text")
+    cfgs = configs_df(spark, ["IO", "CoT"], ["baseline", "full"], ["m1"])
+    prompts = build_prompts(clean, cfgs)
+    rows = prompts.collect()
+    assert len(rows) == 10 * 2 * 2
+    for r in rows:
+        assert r["url"] in r["prompt"]  # doc_id interpolation
+        assert r["prompt"].endswith("JSON output:")
+        assert len(r["doc_hash"]) == 12
+        if r["mode"] == "full":
+            assert "Example document" in r["prompt"]
+        if r["technique"] == "CoT":
+            assert "step" in r["prompt"].lower()
+
+
+def test_rag_context_join(spark, sf_dir):
+    from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
+    from relation_extraction_using_llms_spark.operators.similarity import rag_context
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    clean = clean_text_df(pages_df(spark, sf_dir).limit(8)).select("url", "text")
+    snippets = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).select("doc_id", "text")
+    )
+    ctx = rag_context(clean, snippets, k=2)
+    rows = ctx.collect()
+    assert len(rows) == 8
+    assert all("---" in r["context"] or r["context"] for r in rows)
+
+    cfgs = configs_df(spark, ["RAG", "IO"], ["improved"], ["m1"])
+    prompts = build_prompts(clean, cfgs, context_df=ctx).collect()
+    rag = [r for r in prompts if r["technique"] == "RAG"]
+    io = [r for r in prompts if r["technique"] == "IO"]
+    assert all(p["prompt"].startswith("Retrieved context:") for p in rag)
+    assert not any(p["prompt"].startswith("Retrieved context:") for p in io)
+
+
+def test_write_run_artifacts(spark, sf_dir, tmp_path):
+    from relation_extraction_using_llms_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from relation_extraction_using_llms_spark.plans.reports import write_run_artifacts
+    from relation_extraction_using_llms_spark.sources.stub_model import make_stub_model
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    cfg = PipelineConfig(
+        techniques=["IO"], models=["stub-large"], strategies=["exact"],
+        with_types_variants=(True,),
+    )
+    pages = pages_df(spark, sf_dir).limit(40)
+    stages = run_pipeline(spark, pages, cfg, model_fn=make_stub_model(sf_dir))
+    paths = write_run_artifacts(
+        str(tmp_path / "run"), stages["eval_per_doc"], stages["eval_aggregate"]
+    )
+    assert set(paths) >= {
+        "eval_per_doc",
+        "eval_aggregate",
+        "technique_rankings",
+        "model_ranking",
+        "strategy_summary",
+        "best_configuration",
+    }
+    agg = spark.read.parquet(paths["eval_aggregate"])
+    assert agg.count() == 1
+    per_doc = spark.read.parquet(paths["eval_per_doc"])
+    # partition pruning works on the report tree
+    assert per_doc.where(F.col("strategy") == "exact").count() == per_doc.count()

@@ -1,0 +1,157 @@
+"""Validity of the approximate / scale-path operators against their exact
+counterparts, plus connected-components correctness on adversarial graphs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_connected_components_chain_and_star(spark):
+    from relation_extraction_using_llms_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    # chain a0-a1-...-a9 (worst case for label propagation), star s-h1..h5,
+    # two singleton-ish pairs
+    edges = (
+        [(f"a{i}", f"a{i+1}") for i in range(9)]
+        + [("s", f"h{i}") for i in range(5)]
+        + [("x1", "x2"), ("y1", "y2")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert len({comp[f"a{i}"] for i in range(10)}) == 1
+    assert comp["a0"] == "a0"
+    assert len({comp["s"], *[comp[f"h{i}"] for i in range(5)]}) == 1
+    assert comp["x1"] == comp["x2"] and comp["y1"] == comp["y2"]
+    assert comp["x1"] != comp["y1"]
+
+
+def test_canonical_mapping_groups_shared_forms(spark):
+    from relation_extraction_using_llms_spark.operators.canonicalize import (
+        canonical_mapping,
+    )
+
+    rows = [
+        ("E1", ["abc", "shared"]),
+        ("E2", ["shared", "def"]),
+        ("E3", ["def"]),
+        ("E4", ["zzz"]),
+    ]
+    cat = spark.createDataFrame(rows, "entity_id string, exact_forms array<string>")
+    m = {r["entity_id"]: r["canonical_id"] for r in canonical_mapping(cat).collect()}
+    # E1-E2 share 'shared', E2-E3 share 'def' -> one component
+    assert m["E1"] == m["E2"] == m["E3"] == "E1"
+    assert "E4" not in m  # singleton: no alias edges, identity downstream
+
+
+def test_minhash_candidates_cover_exact_pairs(spark, sf_dir):
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.6).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, n=3, jaccard_threshold=0.5).collect()
+    }
+    assert exact, "corpus should contain near-duplicate pairs at 0.6"
+    missed = exact - approx
+    # LSH at a lower threshold must recover (nearly) all exact pairs
+    assert len(missed) / len(exact) <= 0.05, (len(missed), len(exact))
+
+
+def test_simhash_identical_docs_pair(spark):
+    from relation_extraction_using_llms_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical
+        (3, "alpha beta gamma delta epsilon eta"),  # near
+        (4, "completely different words entirely unrelated topic"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs, 10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = lsh_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_global_lsh_linking_agrees_with_cascade(spark, sf_dir):
+    """The LSH-blocked global resolver agrees with the unblocked cascade on
+    mentions it resolves (blocking can only lose candidates, not invent)."""
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        entity_catalog,
+    )
+    from relation_extraction_using_llms_spark.operators.linking import (
+        linking_catalog,
+        resolve_global_lsh,
+        resolve_mention_py,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import gold_entities_df
+
+    ents = gold_entities_df(spark, sf_dir)
+    urls = [r["url"] for r in ents.select("url").distinct().limit(25).collect()]
+    ents_sub = ents.where(F.col("url").isin(urls))
+    cat = linking_catalog(ents_sub, entity_catalog(ents_sub)).cache()
+
+    mentions = (
+        ents_sub.select(F.explode("mentions").alias("m"))
+        .select(F.col("m.text").alias("mention"))
+        .distinct()
+        .limit(120)
+    )
+    lsh_res = {
+        r["mention"]: r["entity_id"]
+        for r in resolve_global_lsh(mentions, cat).collect()
+    }
+    cat_rows = [
+        {
+            "entity_id": r["entity_id"],
+            "canonical_name": r["canonical_name"],
+            "common_mentions": list(r["common_mentions"] or []),
+            "exact_forms": set(r["exact_forms"] or []),
+            "first20": list(r["first20"] or []),
+            "created_ord": r["created_ord"],
+        }
+        for r in cat.collect()
+    ]
+    n_checked = 0
+    for m in [r["mention"] for r in mentions.collect()]:
+        want = resolve_mention_py(m, cat_rows)
+        got = lsh_res.get(m)
+        if want is not None:
+            # every cascade-resolvable mention must resolve identically
+            assert got == want, (m, got, want)
+            n_checked += 1
+    assert n_checked > 50

@@ -1,0 +1,158 @@
+"""Streaming ingest (AvailableNow, exactly-once delta processing) and
+ledger-based kill/resume idempotency (north_rule)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture()
+def pages_parquet(spark, sf_dir, tmp_path):
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    path = str(tmp_path / "pages")
+    pages = pages_df(spark, sf_dir).limit(100).cache()
+    first = pages.limit(60)
+    rest = pages.subtract(first)
+    first.write.parquet(path + "/batch1")
+    return path, rest, pages
+
+
+def test_available_now_ingest_processes_only_delta(spark, tmp_path, pages_parquet):
+    from relation_extraction_using_llms_spark.streaming.ingest import run_available_now
+
+    path, rest, pages = pages_parquet
+    out = str(tmp_path / "clean_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_available_now(spark, path + "/*", out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 60
+    # new files arrive; re-run drains only the delta
+    rest.write.parquet(path + "/batch2")
+    run_available_now(spark, path + "/*", out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert got.select("url").distinct().count() == 100
+
+
+def test_events_hourly_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming windowed agg equals the batch groupBy on a bounded
+    input (AvailableNow drain)."""
+    from relation_extraction_using_llms_spark.streaming.ingest import (
+        events_hourly_stream,
+    )
+
+    ev_dir = str(tmp_path / "events_dir")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(ev_dir)
+    batch = (
+        spark.read.parquet(ev_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(ev_dir).schema
+    ).parquet(ev_dir)
+    # complete mode + memory sink: bounded streams never close their last
+    # window in append mode, so compare the full aggregate state instead.
+    q = (
+        events_hourly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ev_hourly")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from ev_hourly").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_ledger_resume_idempotent(spark, sf_dir, tmp_path):
+    """Kill-and-resume: first run computes half the partitions, 'crashes';
+    the re-run computes only the remainder; a third run is a no-op."""
+    from relation_extraction_using_llms_spark.plans.lineage import (
+        StageLedger,
+        checkpointed_stage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.col("doc_id") % 4).alias("bucket")
+    )
+    ledger = StageLedger(spark, str(tmp_path / "ledger"))
+    out_path = str(tmp_path / "stage_out")
+    calls = []
+
+    def compute(work):
+        calls.append(work.select("bucket").distinct().count())
+        return work.select("bucket", "doc_id", F.length("text").alias("n"))
+
+    # simulate a crash: first run only sees buckets 0-1
+    half = docs.where(F.col("bucket") < 2)
+    checkpointed_stage(ledger, "lenstage", half, "bucket", out_path, compute)
+    assert calls == [2]
+    n_half = spark.read.parquet(out_path).count()
+
+    # resume with the full work set: only buckets 2-3 recompute
+    full1 = checkpointed_stage(ledger, "lenstage", docs, "bucket", out_path, compute)
+    assert calls == [2, 2]
+    assert full1.count() == docs.count() > n_half
+
+    # re-run: no-op, same result
+    full2 = checkpointed_stage(ledger, "lenstage", docs, "bucket", out_path, compute)
+    assert calls == [2, 2]
+    assert full2.count() == docs.count()
+
+    metrics = ledger.stage_metrics().collect()
+    assert any(r["stage"] == "lenstage" and r["n_partitions"] == 4 for r in metrics)
+
+
+def test_response_cache_resume(spark, sf_dir, tmp_path):
+    """S5/S6: second fetch_and_cache call issues zero new model calls."""
+    from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
+    from relation_extraction_using_llms_spark.functions.prompts import (
+        build_prompts,
+        configs_df,
+    )
+    from relation_extraction_using_llms_spark.sources.llm_cache import fetch_and_cache
+    from relation_extraction_using_llms_spark.sources.stub_model import make_stub_model
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    pages = pages_df(spark, sf_dir).limit(40)
+    clean = clean_text_df(pages).select("url", "text")
+    prompts = build_prompts(
+        clean, configs_df(spark, ["IO"], ["improved"], ["stub-large"])
+    )
+    cache_path = str(tmp_path / "llm_cache")
+    calls = []
+    inner = make_stub_model(sf_dir)
+
+    def counting_model(df):
+        calls.append(df.count())
+        return inner(df)
+
+    r1 = fetch_and_cache(prompts, cache_path, counting_model)
+    assert r1.count() == 40
+    assert calls == [40]
+    r2 = fetch_and_cache(prompts, cache_path, counting_model)
+    assert r2.count() == 40
+    assert calls == [40]  # no new model calls
+
+    # partial-cache resume: widen the work set; only the delta is fetched
+    prompts_wide = build_prompts(
+        clean_text_df(pages_df(spark, sf_dir).limit(60)).select("url", "text"),
+        configs_df(spark, ["IO"], ["improved"], ["stub-large"]),
+    )
+    r3 = fetch_and_cache(prompts_wide, cache_path, counting_model)
+    assert r3.count() == 60
+    assert calls == [40, 20]
