@@ -501,6 +501,64 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Sessionization via window functions: a new session starts after a
+    >30 min gap; per user count sessions and events."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_timestamp(F.col("ts").cast("timestamp"))
+             - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))) > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = gapped.withColumn("session_id", F.sum("new_session").over(w2))
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_technique_rankings(spark, sf_dir):
+    from relation_extraction_using_llms_spark.operators.aggregate import (
+        technique_rankings,
+    )
+
+    stages = _pipeline(spark, sf_dir)
+    return technique_rankings(stages["eval_aggregate"]).select(
+        "strategy", "with_types", "technique", "model", "metric",
+        F.round("value", 9).alias("value"), "rank",
+    )
+
+
+def q_strategy_summary(spark, sf_dir):
+    from relation_extraction_using_llms_spark.operators.aggregate import (
+        strategy_summary,
+    )
+
+    stages = _pipeline(spark, sf_dir)
+    return strategy_summary(stages["eval_aggregate"]).select(
+        "strategy", "with_types",
+        F.round("avg_f1", 9).alias("avg_f1"),
+        F.round("best_f1", 9).alias("best_f1"),
+        F.round("worst_f1", 9).alias("worst_f1"),
+        "best_combo", "n_combos",
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from relation_extraction_using_llms_spark.operators.multimodal import (
         attach_fake_media,
@@ -566,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redundancy_sql": q_redundancy_sql,
         "cache_antijoin": q_cache_antijoin,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "technique_rankings": q_technique_rankings,
+        "strategy_summary": q_strategy_summary,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -849,6 +910,24 @@ def oracle_sql() -> dict[str, str]:
         "cache_antijoin": """
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+        """,
+        "events_sessions": """
+            WITH gapped AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gapped
+            )
+            SELECT user_id, max(session_id) + 1 AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY 1
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

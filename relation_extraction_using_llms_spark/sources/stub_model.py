@@ -87,7 +87,9 @@ def call_with_retry(
             return do_request()
         except urllib.error.HTTPError as e:
             if e.code == 429 and retry_429_forever:
-                retry_after = e.headers.get("Retry-After") if e.headers else None
+                retry_after = (
+                    e.headers.get("Retry-After") if e.headers is not None else None
+                )
                 try:
                     delay = float(retry_after)
                 except (TypeError, ValueError):

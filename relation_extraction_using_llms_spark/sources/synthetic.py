@@ -273,11 +273,24 @@ def gen_response(doc: dict, technique: str, model: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _documents(spark, sf_dir: str):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _documents(spark, sf_dir: str, replicas: int = 1):
+    """documents scan; ``replicas`` > 1 tiles the corpus with distinct
+    doc_ids (deterministic) — used to grow benchmark workloads."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicas > 1:
+        df = (
+            df.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(100_000_000))
+            .drop("_r")
+        )
+    return df
 
 
-def pages_df(spark, sf_dir: str):
+def pages_df(spark, sf_dir: str, replicas: int = 1):
     """documents parquet -> pages table (input_hint schema)."""
     from ..schemas import PAGES
 
@@ -294,10 +307,10 @@ def pages_df(spark, sf_dir: str):
                 }
             )
 
-    return _documents(spark, sf_dir).select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES)
+    return _documents(spark, sf_dir, replicas).select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES)
 
 
-def gold_entities_df(spark, sf_dir: str):
+def gold_entities_df(spark, sf_dir: str, replicas: int = 1):
     """Normalized gold entities with mention spans (FIXTURES.md F2)."""
     from ..schemas import GOLD_ENTITIES
 
@@ -324,10 +337,10 @@ def gold_entities_df(spark, sf_dir: str):
                     )
             yield pd.DataFrame(rows)
 
-    return _documents(spark, sf_dir).select("doc_id", "text", "lang").mapInPandas(gen, schema=GOLD_ENTITIES)
+    return _documents(spark, sf_dir, replicas).select("doc_id", "text", "lang").mapInPandas(gen, schema=GOLD_ENTITIES)
 
 
-def gold_relations_df(spark, sf_dir: str, apply_integrity_filter: bool = True):
+def gold_relations_df(spark, sf_dir: str, apply_integrity_filter: bool = True, replicas: int = 1):
     """Gold triples (FIXTURES.md F3).  The integrity semi-join (G3,
     generate_gold_relations.py:130-134) is expressed in Spark by the
     caller when ``apply_integrity_filter`` is False."""
@@ -350,10 +363,10 @@ def gold_relations_df(spark, sf_dir: str, apply_integrity_filter: bool = True):
                     rows["novel"].append(r["novel"])
             yield pd.DataFrame(rows)
 
-    return _documents(spark, sf_dir).select("doc_id", "text", "lang").mapInPandas(gen, schema=GOLD_RELATIONS)
+    return _documents(spark, sf_dir, replicas).select("doc_id", "text", "lang").mapInPandas(gen, schema=GOLD_RELATIONS)
 
 
-def stub_responses_df(spark, sf_dir: str, techniques=None, models=None):
+def stub_responses_df(spark, sf_dir: str, techniques=None, models=None, replicas: int = 1):
     """Served-model stub as a table: one response per (url, technique,
     model).  Stands in for the HTTP inference stage (S9) — the real
     deployment swaps this mapInPandas body for batched endpoint calls with
@@ -381,4 +394,4 @@ def stub_responses_df(spark, sf_dir: str, techniques=None, models=None):
                         rows["response"].append(gen_response(doc, tech, model))
             yield pd.DataFrame(rows)
 
-    return _documents(spark, sf_dir).select("doc_id", "text", "lang").mapInPandas(gen, schema=LLM_RESPONSES)
+    return _documents(spark, sf_dir, replicas).select("doc_id", "text", "lang").mapInPandas(gen, schema=LLM_RESPONSES)

@@ -1,0 +1,94 @@
+"""Retry policy (O4) and incremental embedding store (S7/R3)."""
+
+from __future__ import annotations
+
+import urllib.error
+
+import pyspark.sql.functions as F
+import pytest
+
+from relation_extraction_using_llms_spark.sources.stub_model import call_with_retry
+
+
+def _http_error(code, headers=None):
+    hdrs = headers if headers is not None else {}
+    return urllib.error.HTTPError("http://x", code, "err", hdrs, None)
+
+
+def test_retry_5xx_then_success():
+    calls = {"n": 0}
+    sleeps = []
+
+    def req():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise _http_error(503)
+        return "ok"
+
+    assert call_with_retry(req, sleep=sleeps.append) == "ok"
+    assert calls["n"] == 4
+    assert sleeps == [2.0, 4.0, 8.0]  # exponential base 2*2^k
+
+
+def test_retry_4xx_fails_fast():
+    calls = {"n": 0}
+
+    def req():
+        calls["n"] += 1
+        raise _http_error(400)
+
+    with pytest.raises(urllib.error.HTTPError):
+        call_with_retry(req, sleep=lambda _: None)
+    assert calls["n"] == 1
+
+
+def test_retry_429_honors_retry_after_and_cap():
+    calls = {"n": 0}
+    sleeps = []
+
+    class H(dict):
+        def get(self, k, default=None):
+            return {"Retry-After": "7"}.get(k, default)
+
+    def req():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise _http_error(429, H())
+        return "ok"
+
+    assert call_with_retry(req, sleep=sleeps.append) == "ok"
+    assert sleeps == [7.0, 7.0]
+
+
+def test_retry_gives_up_after_max():
+    def req():
+        raise _http_error(500)
+
+    with pytest.raises(urllib.error.HTTPError):
+        call_with_retry(req, max_retries=3, sleep=lambda _: None)
+
+
+def test_embedding_store_incremental(spark, sf_dir, tmp_path):
+    from relation_extraction_using_llms_spark.sources.embedding_store import (
+        update_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_key"), "text"
+    )
+    path = str(tmp_path / "emb_store")
+
+    first = update_store(docs.limit(50), path)
+    n_first = first.count()
+    assert n_first == 50
+
+    # same input: nothing re-embedded — an append of re-embedded rows would
+    # grow the store (the anti-join is the only guard)
+    again = update_store(docs.limit(50), path)
+    assert again.count() == n_first
+
+    # superset: only the delta embeds; distinct hashes match exactly
+    n_distinct_80 = docs.limit(80).select(F.sha2("text", 256)).distinct().count()
+    wider = update_store(docs.limit(80), path)
+    assert wider.count() == wider.select("text_hash").distinct().count() == n_distinct_80
+    assert wider.count() > n_first
