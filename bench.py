@@ -37,7 +37,7 @@ SCALING_MODELS = ["stub-small", "stub-large"]
 # scaling corpus = replicated documents (distinct doc_ids) so per-level runs
 # are compute-bound for long enough that fixed stage costs (~5-8 s/run)
 # don't drown the signal.
-SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "6"))
+SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "24"))
 
 
 def corpus_dir(sf_dir: str, replicas: int = 1) -> str:
@@ -144,10 +144,25 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
     )
     triples_r = spark.read.parquet(triples_tbl)
 
-    # 3. catalog + linking (the Python-kernel heavy stage)
+    # 3a. entity catalog -> packed per-document candidates (a materialized
+    # stage output in the real pipeline; measured separately from linking)
+    from relation_extraction_using_llms_spark.operators.linking import (
+        packed_candidates,
+    )
+
+    cat_tbl = f"{corpus}/stage_candidates"
     cat = entity_catalog(ents)
     link_cat = linking_catalog(ents, cat)
-    resolved = resolve_in_document(triples_r, doc_candidates(ents, link_cat))
+    packed = packed_candidates(doc_candidates(ents, link_cat))
+    timed(
+        "q_catalog",
+        lambda: packed.write.mode("overwrite").parquet(cat_tbl) or
+        spark.read.parquet(cat_tbl).count(),
+    )
+    packed_r = spark.read.parquet(cat_tbl)
+
+    # 3b. linking (the Python-kernel stage)
+    resolved = resolve_in_document(triples_r, packed_df=packed_r)
     resolved_tbl = f"{corpus}/stage_resolved"
     timed(
         "q_resolve",
@@ -224,7 +239,8 @@ def main():
     times = run_once(f"local[{CPUS}]", max(8, int(CPUS)))
     n_triples = times.pop("_n_triples")
     pipeline_sec = (
-        times["q_extract"] + times["q_parse"] + times["q_resolve"] + times["q_materialize"]
+        times["q_extract"] + times["q_parse"] + times["q_catalog"]
+        + times["q_resolve"] + times["q_materialize"]
     )
     result = {
         "metric": "triples_per_sec",
@@ -245,7 +261,8 @@ def main():
         for level in (4, 8, 16, 32):
             t = run_once(f"local[{level}]", level, scaling=True)
             nt = t.pop("_n_triples")
-            sec = t["q_extract"] + t["q_parse"] + t["q_resolve"] + t["q_materialize"]
+            sec = (t["q_extract"] + t["q_parse"] + t["q_catalog"]
+                   + t["q_resolve"] + t["q_materialize"])
             result[f"scaling_local{level}"] = {
                 "pipeline_sec": round(sec, 3),
                 "triples_per_sec": round(nt / sec, 2) if sec else 0.0,

@@ -32,6 +32,7 @@ _QUANTIFIER_PREFIX = re.compile(
 )
 
 
+@lru_cache(maxsize=1 << 17)
 def norm_ws(text: str | None) -> str:
     """Lowercase + trim + collapse whitespace (text_matcher.py:105-127 —
     punctuation is KEPT here)."""
@@ -40,6 +41,7 @@ def norm_ws(text: str | None) -> str:
     return _WS.sub(" ", text.lower().strip())
 
 
+@lru_cache(maxsize=1 << 17)
 def norm_full(text: str | None) -> str:
     """Lowercase, strip punctuation, collapse whitespace
     (entity_resolver.py:120-142)."""
@@ -48,6 +50,7 @@ def norm_full(text: str | None) -> str:
     return " ".join(text.lower().translate(_PUNCT_TABLE).split())
 
 
+@lru_cache(maxsize=1 << 17)
 def norm_alnum(text: str | None) -> str:
     """Lowercase + drop non-word chars + collapse whitespace
     (validator.py:100-107 variant used for mention-in-text checks)."""
@@ -56,10 +59,14 @@ def norm_alnum(text: str | None) -> str:
     return " ".join(_NON_WORD.sub("", text.lower()).split())
 
 
-def core_terms(text: str | None) -> set[str]:
+@lru_cache(maxsize=1 << 17)
+def core_terms(text: str | None) -> frozenset[str]:
     """Stop-word-filtered terms of length > 2 over ``norm_full`` output
-    (entity_resolver.py:144-162)."""
-    return {w for w in norm_full(text).split() if w not in STOP_WORDS and len(w) > 2}
+    (entity_resolver.py:144-162).  Frozen + memoized: called once per
+    (mention, entity, step) in the resolver cascade."""
+    return frozenset(
+        w for w in norm_full(text).split() if w not in STOP_WORDS and len(w) > 2
+    )
 
 
 @lru_cache(maxsize=1 << 17)

@@ -243,7 +243,9 @@ def _unpack_entities(raw) -> list[dict]:
     return entities
 
 
-def resolve_in_document(pred_df, doc_candidates_df, fuzzy_threshold: float = 0.7):
+def resolve_in_document(
+    pred_df, doc_candidates_df=None, fuzzy_threshold: float = 0.7, packed_df=None
+):
     """Fill head_id/tail_id on predictions via the cascade against the
     document's candidate entities.
 
@@ -257,61 +259,42 @@ def resolve_in_document(pred_df, doc_candidates_df, fuzzy_threshold: float = 0.7
     cores instead of paying per-group overhead."""
     from pyspark.sql import functions as F
 
-    mentions = (
+    # one shuffle: distinct mentions per url via collect_set
+    mentions_packed = (
         pred_df.select("url", F.col("head_mention").alias("mention"))
         .unionByName(pred_df.select("url", F.col("tail_mention").alias("mention")))
-        .distinct()
+        .groupBy("url")
+        .agg(F.collect_set("mention").alias("mentions"))
     )
-    # Pack mentions per url BEFORE joining the candidate arrays: the join
-    # output is one row per url, so each url's (fat) entity array crosses
-    # the shuffle exactly once — joining candidates onto raw mention rows
-    # duplicated the array ~20x and turned the stage GC-bound at scale.
-    mentions_packed = mentions.groupBy("url").agg(
-        F.collect_list("mention").alias("mentions")
-    )
-    packed = packed_candidates(doc_candidates_df)
+    packed = packed_df if packed_df is not None else packed_candidates(doc_candidates_df)
     work = mentions_packed.join(packed, "url", "left")
 
     def fn(batches):
         for pdf in batches:
-            urls, outs, ids = [], [], []
+            urls, maps = [], []
             for url, mlist, raw in zip(pdf["url"], pdf["mentions"], pdf["entities"]):
                 entities = _unpack_entities(raw)
-                for mention in ([] if mlist is None else list(mlist)):
-                    urls.append(url)
-                    outs.append(mention)
-                    ids.append(resolve_mention_py(mention, entities, fuzzy_threshold))
-            yield pd.DataFrame({"url": urls, "mention": outs, "entity_id": ids})
+                urls.append(url)
+                maps.append(
+                    {
+                        m: resolve_mention_py(m, entities, fuzzy_threshold)
+                        for m in ([] if mlist is None else list(mlist))
+                    }
+                )
+            yield pd.DataFrame({"url": urls, "mention_ids": maps})
 
+    # per-url mention->id map; ids are then extracted JVM-side, so triples
+    # are joined ONCE on url instead of twice on (url, mention)
     resolved = work.mapInPandas(
-        fn, schema="url string, mention string, entity_id string"
+        fn, schema="url string, mention_ids map<string,string>"
     )
-    # the resolved-mention table feeds two joins below; persist it so the
-    # Python stage runs once, not once per join branch (at warehouse scale
-    # this is a checkpoint-worthy table write instead)
-    resolved = resolved.persist()
     from ..schemas import PREDICTED
 
     out = (
         pred_df.drop("head_id", "tail_id")
-        .join(
-            resolved.select(
-                "url",
-                F.col("mention").alias("head_mention"),
-                F.col("entity_id").alias("head_id"),
-            ),
-            ["url", "head_mention"],
-            "left",
-        )
-        .join(
-            resolved.select(
-                "url",
-                F.col("mention").alias("tail_mention"),
-                F.col("entity_id").alias("tail_id"),
-            ),
-            ["url", "tail_mention"],
-            "left",
-        )
+        .join(resolved, "url", "left")
+        .withColumn("head_id", F.element_at("mention_ids", F.col("head_mention")))
+        .withColumn("tail_id", F.element_at("mention_ids", F.col("tail_mention")))
     )
     return out.select(*[f.name for f in PREDICTED.fields])
 

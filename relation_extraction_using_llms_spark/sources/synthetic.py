@@ -284,7 +284,10 @@ def _documents(spark, sf_dir: str, replicas: int = 1):
             df.withColumn(
                 "_r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
             )
-            .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(100_000_000))
+            .withColumn(
+                "doc_id",
+                F.col("doc_id") + F.col("_r").cast("long") * F.lit(100_000_000).cast("long"),
+            )
             .drop("_r")
         )
     return df
