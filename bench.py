@@ -144,7 +144,7 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
     )
     triples_r = spark.read.parquet(triples_tbl)
 
-    # 3a. entity catalog -> packed per-document candidates (a materialized
+    # 3a. entity catalog -> per-document candidate rows (a materialized
     # stage output in the real pipeline; measured separately from linking)
     from relation_extraction_using_llms_spark.operators.linking import (
         packed_candidates,
@@ -161,7 +161,8 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
     )
     packed_r = spark.read.parquet(cat_tbl)
 
-    # 3b. linking (the Python-kernel stage)
+    # 3b. linking (the Python-kernel stage; packed layout reads the fat
+    # candidate arrays straight from parquet — no shuffle)
     resolved = resolve_in_document(triples_r, packed_df=packed_r)
     resolved_tbl = f"{corpus}/stage_resolved"
     timed(

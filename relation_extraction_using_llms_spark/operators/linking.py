@@ -208,8 +208,9 @@ def doc_candidates(gold_entities_df, linking_catalog_df):
 
 
 def packed_candidates(doc_candidates_df):
-    """(url, entities: array<struct>) — the document's candidate entities
-    packed JVM-side (map-side-combinable collect_list)."""
+    """(url, entities: array<struct>) — per-document candidate entities
+    packed JVM-side.  Retained for callers that want the url-grain shape;
+    ``resolve_in_document`` uses the bucket-replicated layout below."""
     from pyspark.sql import functions as F
 
     ent_struct = F.struct(
@@ -221,53 +222,157 @@ def packed_candidates(doc_candidates_df):
     )
 
 
-def _unpack_entities(raw) -> list[dict]:
-    entities = []
-    for e in raw if raw is not None else []:
-        d = e.asDict() if hasattr(e, "asDict") else dict(e)
-        def aslist(v):
-            # nested arrays arrive as numpy arrays; guard with `is None`
-            return [] if v is None else list(v)
+def _meta_dict(row) -> dict:
+    d = row.asDict() if hasattr(row, "asDict") else dict(row)
 
-        entities.append(
-            {
-                "entity_id": d["entity_id"],
-                "canonical_name": d["canonical_name"],
-                "common_mentions": aslist(d["common_mentions"]),
-                "exact_forms": set(aslist(d["exact_forms"])),
-                "first20": aslist(d["first20"]),
-                "created_ord": d["created_ord"],
-            }
-        )
-    entities.sort(key=lambda e: e.get("created_ord") or "")
-    return entities
+    def aslist(v):
+        return [] if v is None else list(v)
+
+    return {
+        "entity_id": d["entity_id"],
+        "canonical_name": d["canonical_name"],
+        "common_mentions": aslist(d["common_mentions"]),
+        "exact_forms": set(aslist(d["exact_forms"])),
+        "first20": aslist(d["first20"]),
+        "created_ord": d["created_ord"],
+    }
 
 
-def resolve_in_document(
-    pred_df, doc_candidates_df=None, fuzzy_threshold: float = 0.7, packed_df=None
+def _resolve_bucketed(
+    pred_df,
+    doc_candidates_df,
+    fuzzy_threshold: float = 0.7,
+    n_buckets: int | None = None,
 ):
-    """Fill head_id/tail_id on predictions via the cascade against the
-    document's candidate entities.
+    """Bucket-replicated dimension-join layout (mode="bucketed"):
 
-    Plan shape (chosen over a per-url cogroup, which paid one tiny Arrow
-    batch per document): distinct (url, mention) pairs join the packed
-    per-url candidate arrays, a ``mapInPandas`` resolves each pair once
-    (the reference re-resolves per occurrence; identical results — the
-    cascade is deterministic per mention), and two hash joins fan the ids
-    back onto predictions.  All grouping/joining stays JVM-side; Python
-    sees fat Arrow batches of independent rows, so the stage scales with
-    cores instead of paying per-group overhead."""
+      1. distinct mentions per url (collect_set, one shuffle)
+      2. per-url candidate MEMBERSHIP = entity-id array (small)
+      3. entity METADATA (the fat part: surface forms, canonical, first-20)
+         is replicated per url-hash BUCKET, not per url — a hot entity
+         crosses the shuffle n_buckets times instead of
+         documents-containing-it times
+      4. cogrouped applyInPandas on bucket: build {entity_id: metadata}
+         once per bucket, resolve every url's mentions against its member
+         entities; emit a per-url mention->id map
+      5. one url join back; ids extracted JVM-side via element_at
+
+    Deterministic and semantically identical to the reference cascade per
+    (url, mention) — the layout only changes where bytes travel.
+    """
+    import pandas as pd  # noqa: F811
     from pyspark.sql import functions as F
 
-    # one shuffle: distinct mentions per url via collect_set
+    spark = pred_df.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 2
+    bucket = lambda c: F.pmod(F.hash(c), F.lit(n_buckets))  # noqa: E731
+
     mentions_packed = (
         pred_df.select("url", F.col("head_mention").alias("mention"))
         .unionByName(pred_df.select("url", F.col("tail_mention").alias("mention")))
         .groupBy("url")
         .agg(F.collect_set("mention").alias("mentions"))
     )
-    packed = packed_df if packed_df is not None else packed_candidates(doc_candidates_df)
-    work = mentions_packed.join(packed, "url", "left")
+    membership = doc_candidates_df.groupBy("url").agg(
+        F.collect_set("entity_id").alias("entity_ids")
+    )
+    left = (
+        mentions_packed.join(membership, "url", "left")
+        .withColumn("bucket", bucket(F.col("url")))
+    )
+
+    ent_struct = F.struct(
+        "entity_id", "canonical_name", "common_mentions", "exact_forms",
+        "first20", "created_ord",
+    )
+    bucket_meta = (
+        doc_candidates_df.select(bucket(F.col("url")).alias("bucket"), "entity_id")
+        .distinct()
+        .join(
+            doc_candidates_df.select(ent_struct.alias("e"), "entity_id").dropDuplicates(
+                ["entity_id"]
+            ),
+            "entity_id",
+        )
+        .select("bucket", "e.*")
+    )
+
+    def fn(left_pdf: pd.DataFrame, meta_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(left_pdf):
+            # typed empty frame: a default float64 empty column breaks
+            # Arrow's map<string,string> conversion
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(dtype=object),
+                    "mention_ids": pd.Series(dtype=object),
+                }
+            )
+        meta = {}
+        for _, row in meta_pdf.iterrows():
+            m = _meta_dict(row)
+            meta[m["entity_id"]] = m
+        urls, maps = [], []
+        ent_cache: dict[tuple, list] = {}
+        for url, mlist, ids in zip(
+            left_pdf["url"], left_pdf["mentions"], left_pdf["entity_ids"]
+        ):
+            key = tuple(sorted([] if ids is None else list(ids)))
+            entities = ent_cache.get(key)
+            if entities is None:
+                entities = sorted(
+                    (meta[i] for i in key if i in meta),
+                    key=lambda e: e.get("created_ord") or "",
+                )
+                if len(ent_cache) > 8192:
+                    ent_cache.clear()
+                ent_cache[key] = entities
+            urls.append(url)
+            maps.append(
+                {
+                    m: resolve_mention_py(m, entities, fuzzy_threshold)
+                    for m in ([] if mlist is None else list(mlist))
+                }
+            )
+        return pd.DataFrame({"url": urls, "mention_ids": maps})
+
+    resolved = (
+        left.groupBy("bucket")
+        .cogroup(bucket_meta.groupBy("bucket"))
+        .applyInPandas(fn, schema="url string, mention_ids map<string,string>")
+    )
+    from ..schemas import PREDICTED
+
+    out = (
+        pred_df.drop("head_id", "tail_id")
+        .join(resolved, "url", "left")
+        .withColumn("head_id", F.element_at("mention_ids", F.col("head_mention")))
+        .withColumn("tail_id", F.element_at("mention_ids", F.col("tail_mention")))
+    )
+    return out.select(*[f.name for f in PREDICTED.fields])
+
+
+def _unpack_entities(raw) -> list[dict]:
+    entities = [_meta_dict(e) for e in (raw if raw is not None else [])]
+    entities.sort(key=lambda e: e.get("created_ord") or "")
+    return entities
+
+
+def _resolve_packed(pred_df, packed_df, fuzzy_threshold: float = 0.7):
+    """Url-packed layout (mode="packed"): each url row carries its full
+    candidate array.  When the packed table is a materialized stage output
+    the fat arrays stream parquet -> Arrow -> Python without ever crossing
+    a shuffle — fastest at moderate catalog sizes."""
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+
+    mentions_packed = (
+        pred_df.select("url", F.col("head_mention").alias("mention"))
+        .unionByName(pred_df.select("url", F.col("tail_mention").alias("mention")))
+        .groupBy("url")
+        .agg(F.collect_set("mention").alias("mentions"))
+    )
+    work = mentions_packed.join(packed_df, "url", "left")
 
     def fn(batches):
         for pdf in batches:
@@ -283,11 +388,10 @@ def resolve_in_document(
                 )
             yield pd.DataFrame({"url": urls, "mention_ids": maps})
 
-    # per-url mention->id map; ids are then extracted JVM-side, so triples
-    # are joined ONCE on url instead of twice on (url, mention)
     resolved = work.mapInPandas(
         fn, schema="url string, mention_ids map<string,string>"
     )
+    from pyspark.sql import functions as F2  # noqa: F401
     from ..schemas import PREDICTED
 
     out = (
@@ -297,6 +401,35 @@ def resolve_in_document(
         .withColumn("tail_id", F.element_at("mention_ids", F.col("tail_mention")))
     )
     return out.select(*[f.name for f in PREDICTED.fields])
+
+
+def resolve_in_document(
+    pred_df,
+    doc_candidates_df=None,
+    fuzzy_threshold: float = 0.7,
+    mode: str = "packed",
+    packed_df=None,
+    n_buckets: int | None = None,
+):
+    """Fill head_id/tail_id on predictions via the cascade against each
+    document's candidate entities.  Semantics identical in both layouts
+    (parity-tested); they differ only in where the fat entity metadata
+    travels:
+
+    * ``packed`` (default): per-url candidate arrays; fastest when the
+      candidate table is a materialized stage output (arrays go parquet ->
+      Arrow -> Python with no shuffle).  Measured 19.4s vs bucketed 23.4s
+      at local[16] on the 24x sf0.1 corpus.
+    * ``bucketed``: entity metadata replicated per url-hash bucket (a hot
+      entity crosses the shuffle n_buckets times, not once per containing
+      document) — the skew-robust choice when metadata is large or the
+      candidate table is computed inline.  Scales 2.8x vs packed's 2.35x
+      from 4 -> 16 cores on the same corpus.
+    """
+    if mode == "bucketed":
+        return _resolve_bucketed(pred_df, doc_candidates_df, fuzzy_threshold, n_buckets)
+    packed = packed_df if packed_df is not None else packed_candidates(doc_candidates_df)
+    return _resolve_packed(pred_df, packed, fuzzy_threshold)
 
 
 # ---------------------------------------------------------------------------
