@@ -501,6 +501,32 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_eval_all_strategies(spark, sf_dir):
+    """All 10 matching strategies (M1-M10) end-to-end on a 150-doc slice —
+    rows-only by design (greedy order-dependent matching is not
+    SQL-expressible)."""
+    from relation_extraction_using_llms_spark.operators.matching import ALL_STRATEGIES
+    from relation_extraction_using_llms_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from relation_extraction_using_llms_spark.sources.stub_model import make_stub_model
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    cfg = PipelineConfig(
+        techniques=["ReAct"],
+        models=["stub-large"],
+        strategies=ALL_STRATEGIES,
+        with_types_variants=(True,),
+    )
+    pages = pages_df(spark, sf_dir).limit(150)
+    stages = run_pipeline(spark, pages, cfg, model_fn=make_stub_model(sf_dir))
+    return stages["counts"].select(
+        "url", "strategy", "tp", "fp", "fn", "n_semantic",
+        F.round("semantic_sum", 6).alias("semantic_sum"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionization via window functions: a new session starts after a
     >30 min gap; per user count sessions and events."""
@@ -603,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_aggregate": q_eval_aggregate,
         "model_ranking": q_model_ranking,
         "canonical_triples": q_canonical_triples,
+        "eval_all_strategies": q_eval_all_strategies,
         # dedup / similarity / text / multimodal (SQL twins where exact)
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
