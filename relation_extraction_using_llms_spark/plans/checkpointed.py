@@ -1,0 +1,145 @@
+"""Checkpoint-resumable pipeline (north_rule): every stage materializes to
+a table through the per-partition ledger; a killed run resumes exactly
+where it stopped, and completed stages are no-ops on re-run.
+
+Partition key per stage:
+  clean_text / gold tables  url-hash bucket (``part``)
+  responses                 (technique, model) via the cache anti-join
+  triples / resolved        url-hash bucket
+
+The ledger doubles as the per-stage metrics table
+(stage, partition_key, row_count, status, run_id) — ``StageLedger.stage_metrics``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extraction import clean_text_df
+from ..functions.parsing import parsed_triples_df
+from ..functions.prompts import build_prompts, configs_df
+from ..operators.entity_catalog import entity_catalog
+from ..operators.gold_normalize import gold_entities, gold_relations
+from ..operators.linking import (
+    doc_candidates,
+    linking_catalog,
+    packed_candidates,
+    resolve_in_document,
+)
+from ..sources.llm_cache import fetch_and_cache
+from .lineage import StageLedger, checkpointed_stage
+from .pipeline import PipelineConfig
+
+
+def _with_bucket(df: DataFrame, n: int = 32) -> DataFrame:
+    return df.withColumn("part", F.pmod(F.hash("url"), F.lit(n)).cast("string"))
+
+
+def run_checkpointed(
+    spark,
+    pages: DataFrame,
+    workdir: str,
+    config: PipelineConfig | None = None,
+    model_fn=None,
+    n_buckets: int = 32,
+) -> dict[str, DataFrame]:
+    """Run the extraction->triples pipeline with every stage checkpointed.
+
+    Stages already marked done in ``workdir/ledger`` are skipped; partial
+    completions recompute only missing partition keys.  Returns the
+    materialized stage DataFrames.
+    """
+    cfg = config or PipelineConfig()
+    ledger = StageLedger(spark, f"{workdir}/ledger")
+
+    pages_b = _with_bucket(pages, n_buckets)
+    # whole-corpus fingerprint: stages depending on GLOBAL aggregates (the
+    # entity catalog) are valid only w.r.t. the exact corpus; mixing this
+    # into their work fingerprints invalidates them when the corpus changes
+    fp_row = pages.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.hash("url")).alias("h")
+    ).collect()[0]  # driver-metadata collect
+    corpus_fp = f"{fp_row['n']}:{fp_row['h']}"
+
+    clean = checkpointed_stage(
+        ledger,
+        "clean_text",
+        pages_b,
+        "part",
+        f"{workdir}/clean_text",
+        lambda work: _with_bucket(clean_text_df(work), n_buckets),
+    )
+
+    ents = checkpointed_stage(
+        ledger,
+        "gold_entities",
+        pages_b,
+        "part",
+        f"{workdir}/gold_entities",
+        lambda work: _with_bucket(gold_entities(work), n_buckets),
+    )
+    gold_rels = checkpointed_stage(
+        ledger,
+        "gold_relations",
+        pages_b,
+        "part",
+        f"{workdir}/gold_relations",
+        lambda work: _with_bucket(gold_relations(work), n_buckets),
+    )
+
+    # responses: the cache table IS the checkpoint (anti-join resume)
+    prompts = build_prompts(
+        clean.select("url", "text"),
+        configs_df(spark, cfg.techniques, cfg.modes, cfg.models),
+    )
+    responses = fetch_and_cache(prompts, f"{workdir}/llm_cache", model_fn)
+
+    responses_with_text = responses.join(clean.select("url", "text"), "url")
+    triples = checkpointed_stage(
+        ledger,
+        "triples",
+        _with_bucket(responses_with_text, n_buckets),
+        "part",
+        f"{workdir}/triples",
+        lambda work: _with_bucket(parsed_triples_df(work), n_buckets),
+    )
+
+    # catalog: global aggregate — single-"partition" stage whose work rows
+    # (and therefore fingerprint) are the full entity membership: any
+    # corpus change recomputes + overwrites it
+    link_cat_packed = checkpointed_stage(
+        ledger,
+        "candidates",
+        ents.select(F.lit("all").alias("part"), "url", "entity_id"),
+        "part",
+        f"{workdir}/candidates",
+        lambda _: packed_candidates(
+            doc_candidates(ents, linking_catalog(ents, entity_catalog(ents)))
+        ).withColumn("part", F.lit("all")),
+    )
+
+    # resolution depends on the global catalog: the corpus fingerprint is
+    # mixed into each bucket's work fingerprint, so a corpus change
+    # invalidates every previously-resolved bucket (catalog metadata like
+    # common_mentions can shift resolution of unchanged documents)
+    resolved = checkpointed_stage(
+        ledger,
+        "resolved",
+        triples.withColumn("_corpus_fp", F.lit(corpus_fp)),
+        "part",
+        f"{workdir}/resolved",
+        lambda work: _with_bucket(
+            resolve_in_document(work, packed_df=link_cat_packed), n_buckets
+        ),
+    )
+
+    return {
+        "clean_text": clean,
+        "gold_entities": ents,
+        "gold_relations": gold_rels,
+        "responses": responses,
+        "triples": triples,
+        "resolved": resolved,
+        "ledger": ledger.stage_metrics(),
+    }

@@ -1,11 +1,19 @@
 """Per-partition checkpoint lineage + metrics ledger (north_rule).
 
-Every stage that materializes a table also appends one ledger row per
-partition key: (stage, partition_key, input_hash, row_count, status,
-run_id).  Stage entry anti-joins its work set against completed ledger rows
-— a killed run resumes exactly where it stopped, and re-running a completed
-stage is a no-op.  Mirrors (as a table) what the reference's
-content-addressed response cache does per file (llm_cache.py:79-141).
+Every checkpointed stage appends one ledger row per partition key:
+(stage, partition_key, input_hash, row_count, status, run_id, ts).
+``input_hash`` is a content fingerprint of the partition's INPUT rows, so
+resume is correct under both failure modes:
+
+  * killed run, fixed input  -> missing keys recompute, done keys skip
+  * grown/changed input      -> keys whose input fingerprint changed are
+                                stale: recomputed and their output
+                                partition overwritten (dynamic partition
+                                overwrite), never appended-to
+
+The latest ledger row per (stage, key) wins.  Mirrors, as a table, what
+the reference's content-addressed response cache does per file
+(llm_cache.py:79-141).
 """
 
 from __future__ import annotations
@@ -13,7 +21,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -31,37 +39,47 @@ class StageLedger:
         except Exception:
             return None
 
-    def completed(self, stage: str) -> DataFrame | None:
+    def latest(self, stage: str) -> DataFrame | None:
+        """Latest ledger row per partition key for a stage."""
         df = self.read()
         if df is None:
             return None
+        w = Window.partitionBy("partition_key").orderBy(F.col("ts").desc())
         return (
-            df.where((F.col("stage") == stage) & (F.col("status") == "done"))
-            .select("partition_key")
-            .distinct()
+            df.where(F.col("stage") == stage)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
 
-    def pending(self, work_df: DataFrame, stage: str, key_col: str) -> DataFrame:
-        """Rows of work_df whose partition key has not completed."""
-        done = self.completed(stage)
+    def pending_keys(self, stage: str, key_fps: DataFrame) -> DataFrame:
+        """key_fps: (partition_key, input_hash) of the CURRENT input.
+        Returns the keys that are not done under the same fingerprint."""
+        done = self.latest(stage)
         if done is None:
-            return work_df
-        return work_df.join(
-            done.withColumnRenamed("partition_key", key_col), key_col, "left_anti"
+            return key_fps.select("partition_key")
+        done_ok = done.where(F.col("status") == "done").select(
+            "partition_key", F.col("input_hash").alias("done_hash")
+        )
+        return (
+            key_fps.join(done_ok, "partition_key", "left")
+            .where(
+                F.col("done_hash").isNull()
+                | (F.col("done_hash") != F.col("input_hash"))
+            )
+            .select("partition_key")
         )
 
-    def mark_done(self, stage: str, keyed_counts: DataFrame) -> None:
-        """keyed_counts: (partition_key, row_count[, input_hash])."""
-        cols = keyed_counts.columns
-        out = keyed_counts.select(
+    def mark_done(self, stage: str, keyed: DataFrame) -> None:
+        """keyed: (partition_key, input_hash, row_count)."""
+        out = keyed.select(
             F.lit(stage).alias("stage"),
             F.col("partition_key").cast("string"),
-            (
-                F.col("input_hash") if "input_hash" in cols else F.lit(None)
-            ).cast("string").alias("input_hash"),
+            F.col("input_hash").cast("string"),
             F.col("row_count").cast("long"),
             F.lit("done").alias("status"),
             F.lit(self.run_id).alias("run_id"),
+            F.current_timestamp().alias("ts"),
         )
         out.write.mode("append").parquet(self.path)
 
@@ -77,6 +95,21 @@ class StageLedger:
         )
 
 
+def _key_fingerprints(work_df: DataFrame, key_col: str) -> DataFrame:
+    """Order-insensitive content fingerprint per key: count + sum of a
+    64-bit row hash (xxhash64 over all columns)."""
+    # modular sum: plain sum of 64-bit hashes overflows under ANSI mode
+    row_hash = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in work_df.columns])),
+        F.lit(1_000_000_007).cast("long"),
+    )
+    return work_df.groupBy(F.col(key_col).alias("partition_key")).agg(
+        F.concat_ws(
+            ":", F.count(F.lit(1)), F.sum(row_hash)
+        ).alias("input_hash")
+    )
+
+
 def checkpointed_stage(
     ledger: StageLedger,
     stage: str,
@@ -85,17 +118,31 @@ def checkpointed_stage(
     out_path: str,
     compute,
 ) -> DataFrame:
-    """Run ``compute(pending_work) -> DataFrame`` for not-yet-done partition
-    keys, append results to ``out_path``, mark keys done, and return the
-    full materialized table.  Idempotent under kill/re-run."""
-    pending = ledger.pending(work_df, stage, key_col)
-    if pending.limit(1).count() > 0:
+    """Run ``compute(pending_work) -> DataFrame`` for partition keys whose
+    input fingerprint is new or changed; write results partitioned by
+    ``key_col`` with dynamic partition overwrite (stale partitions are
+    replaced, fresh ones added); mark keys done; return the full table.
+    Idempotent under kill/re-run AND under input growth/change.
+
+    ``compute``'s output must carry ``key_col`` with values matching the
+    work rows' keys.
+    """
+    fps = _key_fingerprints(work_df, key_col).cache()
+    todo = ledger.pending_keys(stage, fps).cache()
+    if todo.limit(1).count() > 0:
+        pending = work_df.join(
+            todo.withColumnRenamed("partition_key", key_col), key_col, "left_semi"
+        )
         result = compute(pending)
-        result.write.mode("append").parquet(out_path)
+        (
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key_col)
+            .parquet(out_path)
+        )
         written = ledger.spark.read.parquet(out_path)
         counts = (
-            pending.select(F.col(key_col).alias("partition_key"))
-            .distinct()
+            todo.join(fps, "partition_key")
             .join(
                 written.groupBy(F.col(key_col).alias("partition_key")).agg(
                     F.count(F.lit(1)).alias("row_count")
@@ -103,7 +150,13 @@ def checkpointed_stage(
                 "partition_key",
                 "left",
             )
-            .select("partition_key", F.coalesce("row_count", F.lit(0)).alias("row_count"))
+            .select(
+                "partition_key",
+                "input_hash",
+                F.coalesce("row_count", F.lit(0)).alias("row_count"),
+            )
         )
         ledger.mark_done(stage, counts)
+    fps.unpersist()
+    todo.unpersist()
     return ledger.spark.read.parquet(out_path)
