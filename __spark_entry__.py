@@ -15,7 +15,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Executor Python workers resolve our UDF modules by name; make the package
+# importable for them even when the caller built the SparkSession itself
+# (only effective if this module is imported before the JVM launches —
+# session.get_spark does the same for sessions we create).
+_existing = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _existing.split(os.pathsep):
+    os.environ["PYTHONPATH"] = _REPO_ROOT + (
+        os.pathsep + _existing if _existing else ""
+    )
 
 from pyspark.sql import functions as F  # noqa: E402
 
