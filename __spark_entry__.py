@@ -416,11 +416,13 @@ def q_macro_micro_sql(spark, sf_dir):
     tp, fp, fn = F.sum("tp"), F.sum("fp"), F.sum("fn")
     micro_p = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
     micro_r = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    # macro averages sum thousands of doubles whose order differs between
+    # engines; 6 decimals absorbs the ulp drift (9 was too tight — r1 hash FAIL)
     return j.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("precision"), 9).alias("macro_precision"),
-        F.round(F.avg("recall"), 9).alias("macro_recall"),
-        F.round(F.avg("f1_score"), 9).alias("macro_f1"),
+        F.round(F.avg("precision"), 6).alias("macro_precision"),
+        F.round(F.avg("recall"), 6).alias("macro_recall"),
+        F.round(F.avg("f1_score"), 6).alias("macro_f1"),
         tp.alias("total_tp"),
         fp.alias("total_fp"),
         fn.alias("total_fn"),
@@ -544,15 +546,14 @@ def q_events_sessions(spark, sf_dir):
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast timestamp -> double keeps sub-second precision (events.ts carries
+    # microseconds; unix_timestamp truncates and diverges from epoch())
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gapped = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(
-            (F.unix_timestamp(F.col("ts").cast("timestamp"))
-             - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))) > 1800,
-            1,
-        )
+        F.when((epoch - F.lag(epoch).over(w)) > 1800, 1)
         .otherwise(0)
         .alias("new_session"),
     )
@@ -563,7 +564,7 @@ def q_events_sessions(spark, sf_dir):
     )
     sess = gapped.withColumn("session_id", F.sum("new_session").over(w2))
     return sess.groupBy("user_id").agg(
-        (F.max("session_id") + 1).alias("n_sessions"),
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -896,9 +897,9 @@ def oracle_sql() -> dict[str, str]:
               FROM per_doc
             )
             SELECT o_orderpriority, count(*) AS n_docs,
-                   round(avg(precision), 9) AS macro_precision,
-                   round(avg(recall), 9) AS macro_recall,
-                   round(avg(f1), 9) AS macro_f1,
+                   round(avg(precision), 6) AS macro_precision,
+                   round(avg(recall), 6) AS macro_recall,
+                   round(avg(f1), 6) AS macro_f1,
                    sum(tp) AS total_tp, sum(fp) AS total_fp, sum(fn) AS total_fn,
                    round(CASE WHEN sum(tp) + sum(fp) > 0
                        THEN sum(tp) * 1.0 / (sum(tp) + sum(fp)) ELSE 0.0 END, 9)
@@ -962,7 +963,7 @@ def oracle_sql() -> dict[str, str]:
                                             ROWS UNBOUNDED PRECEDING) AS session_id
               FROM gapped
             )
-            SELECT user_id, max(session_id) + 1 AS n_sessions,
+            SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM sess GROUP BY 1
         """,

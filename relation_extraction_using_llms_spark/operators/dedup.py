@@ -77,7 +77,6 @@ def ngram_jaccard_pairs(
     sh = documents.select(
         "doc_id", F.explode(_shingles(n)).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -85,6 +84,9 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh = sh.join(hot, "shingle", "left_anti")
+    # sizes AFTER the hot-shingle filter: numerator and denominator share one
+    # shingle universe (Jaccard over the kept set), matching the SQL oracle
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")

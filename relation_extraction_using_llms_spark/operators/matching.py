@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import math
 from collections.abc import Iterable
+from functools import lru_cache
 
 import pandas as pd
 
@@ -41,6 +42,7 @@ from ..functions.textnorm import norm_ws, seq_ratio, text_similarity
 # ---------------------------------------------------------------------------
 
 
+@lru_cache(maxsize=65536)
 def _hash_embed(text: str, dim: int = 64) -> list[float]:
     """Deterministic bag-of-ngrams hashed embedding — the stand-in for the
     served sbert/OpenAI embedding models (absent in this environment).  The
@@ -56,6 +58,7 @@ def _hash_embed(text: str, dim: int = 64) -> list[float]:
     return [v / norm for v in vec]
 
 
+@lru_cache(maxsize=262144)
 def _cosine_similarity(t1: str, t2: str) -> float:
     if not t1 or not t2:
         return 0.0
@@ -458,9 +461,15 @@ def packed_eval_input(pred_df, gold_bundle_df, combos):
             ).alias("combo_preds")
         )
     )
+    # Golds iterate in document/insertion order (the reference matchers'
+    # contract).  rel_ids are "R<k>" strings — lexicographic array_sort puts
+    # R10 before R2, so lead the sort struct with the numeric suffix.
+    rel_ord = F.coalesce(
+        F.regexp_extract("rel_id", r"(\d+)$", 1).cast("int"), F.lit(0)
+    )
     gold_struct = F.struct(
-        "rel_id", "head_id", "tail_id", "rel_type", "head_mentions",
-        "tail_mentions",
+        rel_ord.alias("rel_ord"), "rel_id", "head_id", "tail_id", "rel_type",
+        "head_mentions", "tail_mentions",
     )
     golds_packed = gold_bundle_df.groupBy("url").agg(
         F.array_sort(F.collect_list(gold_struct)).alias("golds")
@@ -501,9 +510,9 @@ def evaluate_counts_df(
     """Per-(url, combo, strategy, with_types) match counts.
 
     Prediction order inside each packed array is parse order (pred_index
-    leads the struct, so array_sort orders by it); gold order is rel_id
-    order — both deterministic, matching the greedy matchers' iteration
-    contract (SURVEY.md §7.3 risk 2)."""
+    leads the struct, so array_sort orders by it); gold order is numeric
+    rel-ordinal (insertion) order — both deterministic, matching the greedy
+    matchers' iteration contract (SURVEY.md §7.3 risk 2)."""
     strategies = list(strategies)
     wt_variants = list(with_types_variants)
     thresholds = thresholds or {}
