@@ -116,17 +116,26 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hash_tables: int = 8,
     jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 20,
 ) -> DataFrame:
     """Approximate duplicate pairs via MinHash banding
-    (shingle -> minhash -> band -> bucket join -> exact re-check).
+    (shingle -> feature-hash -> minhash -> band -> bucket join -> re-check).
     The scale path for the same question ``ngram_jaccard_pairs`` answers
-    exactly: candidate generation is O(docs x bands), never all-pairs."""
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    exactly: candidate generation is O(docs x bands), never all-pairs.
+
+    Shingles are FEATURE-HASHED (``HashingTF``, stateless) rather than
+    vocabulary-encoded: ``CountVectorizer.fit`` builds a driver-side term
+    dictionary — billions of distinct word-3-grams at 10^12 docs — while
+    hashing needs no fit, no driver state, and no extra data pass.  Hash
+    collisions perturb the Jaccard estimate by ~|shingles|/num_features,
+    negligible at 2^20 features; the exact threshold check downstream (or
+    ``ngram_jaccard_pairs`` on candidates) removes false positives."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = documents.select("doc_id", _shingles(n).alias("sh")).where(F.size("sh") > 0)
-    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True, minDF=1.0)
-    model = cv.fit(sh)
-    vec = model.transform(sh)
+    vec = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+    ).transform(sh)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=13
     ).fit(vec)
@@ -194,10 +203,26 @@ def simhash_pairs(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    method: str = "auto",
+    max_exact_rows: int = 200_000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, all-pairs).  Fine to SF~1;
-    the LSH variant in similarity.py is the scale path."""
+    """Embedding-cosine near-dup pairs.
+
+    ``method="exact"`` is the all-pairs crossJoin twin (the DuckDB-oracled
+    reference semantics — O(n^2), fine to ~10^5 rows).  ``method="lsh"`` is
+    the scale path: random-projection LSH blocking on unit vectors + exact
+    cosine on candidates only.  The default ``"auto"`` routes to LSH above
+    ``max_exact_rows`` (bounded probe, not a full count) so the public API
+    is never an accidental 10^12-row crossJoin."""
+    if method == "auto":
+        probe = embeddings.limit(max_exact_rows + 1).count()
+        method = "exact" if probe <= max_exact_rows else "lsh"
+    if method == "lsh":
+        return _embedding_near_dup_lsh(embeddings, threshold, id_col)
+
     def with_norm(df, suffix):
         return df.select(
             F.col(id_col).alias(f"id_{suffix}"),
@@ -222,4 +247,45 @@ def embedding_near_dup_pairs(
             (dot / (F.col("n_a") * F.col("n_b"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def _embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 10,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs: L2-normalize, bucket by random
+    projections, self-join within ``d <= sqrt(2 - 2*threshold)`` (euclidean
+    on the unit sphere is monotone in cosine), report exact cosine."""
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    n = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = embeddings.select(
+        F.col(id_col).alias("vid"),
+        array_to_vector(
+            F.transform("embedding", lambda x: (x / F.when(n > 0, n)).cast("double"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=11,
+    ).fit(unit)
+    max_dist = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
+    return (
+        lsh.approxSimilarityJoin(unit, unit, max_dist, distCol="d")
+        .where(F.col("datasetA.vid") < F.col("datasetB.vid"))
+        .select(
+            F.col("datasetA.vid").alias("vec_a"),
+            F.col("datasetB.vid").alias("vec_b"),
+            (1.0 - F.col("d") * F.col("d") / 2.0).alias("cosine"),
+        )
     )

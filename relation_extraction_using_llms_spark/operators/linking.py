@@ -453,7 +453,7 @@ def resolve_global_lsh(
     distinct unresolved mentions and catalog surface forms, re-scored by
     ``_similarity_score``; best score wins, creation order breaks ties.
     """
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -510,12 +510,16 @@ def resolve_global_lsh(
     m_feat = with_features(unresolved.withColumn("mtext", F.col("mention")), "mtext")
     c_feat = with_features(cat_names.withColumn("ctext", F.col("name")), "ctext")
 
-    cv = CountVectorizer(
-        inputCol="__shingles", outputCol="features", binary=True, minDF=1.0
+    # Stateless feature hashing — no driver-side vocabulary fit (the char
+    # 3-gram space is bounded, but hashing removes the extra data pass and
+    # keeps this path fit-free end to end)
+    htf = HashingTF(
+        inputCol="__shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    cv_model = cv.fit(m_feat.select("__shingles").union(c_feat.select("__shingles")))
-    m_vec = cv_model.transform(m_feat).where(_nonzero_vec())
-    c_vec = cv_model.transform(c_feat).where(_nonzero_vec())
+    # rows already have >=1 shingle, so hashed vectors are non-zero (the
+    # MinHashLSH requirement) — no extra filter pass needed
+    m_vec = htf.transform(m_feat)
+    c_vec = htf.transform(c_feat)
 
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=7
@@ -558,12 +562,3 @@ def resolve_global_lsh(
         .select("mention", "entity_id")
     )
     return exact_hit.unionByName(fuzzy_hit)
-
-
-def _nonzero_vec():
-    from pyspark.sql import functions as F
-
-    # MinHashLSH requires at least one non-zero entry.
-    from pyspark.ml.functions import vector_to_array
-
-    return F.size(F.filter(vector_to_array(F.col("features")), lambda v: v != 0)) > 0

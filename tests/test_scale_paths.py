@@ -107,6 +107,33 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_embedding_near_dup_lsh_matches_exact(spark, sf_dir):
+    """The LSH-blocked embedding dedup path recovers the exact all-pairs
+    result at high threshold, and auto-routing picks the exact twin on
+    small inputs (identical output)."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, 0.9, method="exact").collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, 0.9, method="lsh").collect()
+    }
+    auto = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(emb, 0.9).collect()
+    }
+    assert auto == exact  # small input -> exact twin
+    assert lsh <= exact  # blocking can only lose pairs, never invent
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9, (len(lsh), len(exact))
+
+
 def test_global_lsh_linking_agrees_with_cascade(spark, sf_dir):
     """The LSH-blocked global resolver agrees with the unblocked cascade on
     mentions it resolves (blocking can only lose candidates, not invent)."""
