@@ -36,6 +36,27 @@ class PipelineConfig:
     with_types_variants: tuple = (True, False)
     cache_path: str | None = None
     lang: str | None = None  # optional pages-language filter (pushed down)
+    # RAG retrieval (rag_prompter.py:77-129): top-k snippets prepended to
+    # RAG-technique prompts; the index is a deterministic sample of the
+    # corpus itself (hash-ordered top-N — broadcastable at any corpus size)
+    rag_k: int = 3
+    rag_index_size: int = 64
+
+
+def rag_snippet_index(clean: DataFrame, n: int = 64, snippet_chars: int = 300) -> DataFrame:
+    """Deterministic n-document retrieval index (doc_id, text) drawn from
+    the corpus by hash order — a TakeOrdered scan, no full sort, and small
+    enough to broadcast into the retrieval crossJoin."""
+    from pyspark.sql import functions as F
+
+    return (
+        clean.select(
+            F.col("url").alias("doc_id"),
+            F.substring("text", 1, snippet_chars).alias("text"),
+        )
+        .orderBy(F.xxhash64("doc_id"))
+        .limit(n)
+    )
 
 
 def run_pipeline(
@@ -53,9 +74,21 @@ def run_pipeline(
         pages = pages.where(F.col("lang") == cfg.lang)
 
     clean = clean_text_df(pages)
+    # RAG technique always retrieves (rag_prompter.py:77-129): top-k corpus
+    # snippets join in as context for RAG rows only
+    context_df = None
+    if "RAG" in cfg.techniques:
+        from ..operators.similarity import rag_context
+
+        context_df = rag_context(
+            clean.select("url", "text"),
+            rag_snippet_index(clean, cfg.rag_index_size),
+            k=cfg.rag_k,
+        )
     prompts = build_prompts(
         clean.select("url", "text"),
         configs_df(spark, cfg.techniques, cfg.modes, cfg.models),
+        context_df=context_df,
     )
     responses = fetch_and_cache(prompts, cfg.cache_path, model_fn)
     responses_with_text = responses.join(clean.select("url", "text"), "url")

@@ -97,3 +97,26 @@ def test_write_run_artifacts(spark, sf_dir, tmp_path):
     per_doc = spark.read.parquet(paths["eval_per_doc"])
     # partition pruning works on the report tree
     assert per_doc.where(F.col("strategy") == "exact").count() == per_doc.count()
+
+
+def test_rag_pipeline_retrieves_context(spark, sf_dir):
+    """RAG-technique prompts carry retrieved snippets (rag_prompter.py:77-129
+    always retrieves); non-RAG prompts are unchanged; eval still runs."""
+    from relation_extraction_using_llms_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from relation_extraction_using_llms_spark.sources.stub_model import make_stub_model
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    cfg = PipelineConfig(
+        techniques=["RAG", "IO"], models=["stub-large"], strategies=["exact"],
+        with_types_variants=(True,), rag_k=2, rag_index_size=16,
+    )
+    pages = pages_df(spark, sf_dir).limit(40)
+    stages = run_pipeline(spark, pages, cfg, model_fn=make_stub_model(sf_dir))
+    rag = stages["prompts"].where(F.col("technique") == "RAG").limit(5).collect()
+    assert rag and all(p["prompt"].startswith("Retrieved context:\n") for p in rag)
+    io = stages["prompts"].where(F.col("technique") == "IO").limit(5).collect()
+    assert io and all(not p["prompt"].startswith("Retrieved context:") for p in io)
+    assert stages["eval_aggregate"].count() == 2  # one row per technique
