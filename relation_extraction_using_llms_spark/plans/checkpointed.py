@@ -54,11 +54,16 @@ def run_checkpointed(
     ledger = StageLedger(spark, f"{workdir}/ledger")
 
     pages_b = _with_bucket(pages, n_buckets)
-    # whole-corpus fingerprint: stages depending on GLOBAL aggregates (the
-    # entity catalog) are valid only w.r.t. the exact corpus; mixing this
-    # into their work fingerprints invalidates them when the corpus changes
+    # whole-corpus CONTENT fingerprint: stages depending on GLOBAL
+    # aggregates (the entity catalog) are valid only w.r.t. the exact
+    # corpus; mixing this into their work fingerprints invalidates them
+    # when the corpus changes.  Hash (url, html) — not urls alone — so
+    # editing a page's content (same url set) also invalidates.
     fp_row = pages.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.hash("url")).alias("h")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(F.xxhash64("url", "html"), F.lit(1_000_000_007).cast("long"))
+        ).alias("h"),
     ).collect()[0]  # driver-metadata collect
     corpus_fp = f"{fp_row['n']}:{fp_row['h']}"
 
@@ -106,12 +111,18 @@ def run_checkpointed(
     )
 
     # catalog: global aggregate — single-"partition" stage whose work rows
-    # (and therefore fingerprint) are the full entity membership: any
-    # corpus change recomputes + overwrites it
+    # (and therefore fingerprint) are the full gold-entity CONTENT
+    # (mentions included: the catalog's common_mentions/exact_forms/first20
+    # derive from mention text, so an edited mention on an unchanged
+    # (url, entity_id) set must still recompute): any corpus change
+    # recomputes + overwrites it
     link_cat_packed = checkpointed_stage(
         ledger,
         "candidates",
-        ents.select(F.lit("all").alias("part"), "url", "entity_id"),
+        ents.select(
+            F.lit("all").alias("part"), "url", "entity_id", "entity_type",
+            "mentions",
+        ),
         "part",
         f"{workdir}/candidates",
         lambda _: packed_candidates(

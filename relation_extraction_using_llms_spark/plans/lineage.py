@@ -19,10 +19,38 @@ the reference's content-addressed response cache does per file
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Hive/Spark partition-path escaping (escapePathName): these chars (and
+# control chars) appear %XX-encoded in "<col>=<value>" directory names.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{}[]^')
+
+
+def _partition_dir(out_path: str, key_col: str, value) -> str:
+    if value is None:
+        return os.path.join(out_path, f"{key_col}=__HIVE_DEFAULT_PARTITION__")
+    escaped = "".join(
+        f"%{ord(ch):02X}" if (ch in _ESCAPE_CHARS or ord(ch) < 32) else ch
+        for ch in str(value)
+    )
+    return os.path.join(out_path, f"{key_col}={escaped}")
+
+
+def _drop_partitions(out_path: str, key_col: str, keys) -> None:
+    """Physically remove the output partitions for ``keys`` (local/POSIX
+    paths; an object-store deployment would swap in the Hadoop FileSystem
+    API here).  Dynamic partition overwrite only replaces partitions that
+    appear in the NEW result — a key whose recompute yields zero rows (or
+    that vanished from the input) must have its stale files deleted
+    explicitly, or the full-table read silently resurrects old rows."""
+    for k in keys:
+        d = _partition_dir(out_path, key_col, k)
+        if os.path.exists(d):
+            shutil.rmtree(d)
 
 
 class StageLedger:
@@ -83,6 +111,24 @@ class StageLedger:
         )
         out.write.mode("append").parquet(self.path)
 
+    def mark_removed(self, stage: str, keys: list) -> None:
+        """Ledger keys whose input partitions vanished: their output was
+        dropped; the latest-row-wins read treats them as not-done."""
+        if not keys:
+            return
+        df = self.spark.createDataFrame(
+            [(str(k),) for k in keys], "partition_key string"
+        ).select(
+            F.lit(stage).alias("stage"),
+            "partition_key",
+            F.lit("").alias("input_hash"),
+            F.lit(0).cast("long").alias("row_count"),
+            F.lit("removed").alias("status"),
+            F.lit(self.run_id).alias("run_id"),
+            F.current_timestamp().alias("ts"),
+        )
+        df.write.mode("append").parquet(self.path)
+
     def stage_metrics(self) -> DataFrame | None:
         """The ledger doubles as the per-stage metrics table."""
         df = self.read()
@@ -129,7 +175,28 @@ def checkpointed_stage(
     """
     fps = _key_fingerprints(work_df, key_col).cache()
     todo = ledger.pending_keys(stage, fps).cache()
+    # keys recorded done but absent from the CURRENT input: their output
+    # partitions are stale — drop files and ledger them as removed
+    done = ledger.latest(stage)
+    if done is not None:
+        vanished = (
+            done.where(F.col("status") == "done")
+            .select("partition_key")
+            .join(fps.select("partition_key"), "partition_key", "left_anti")
+        )
+        vkeys = [r["partition_key"] for r in vanished.collect()]  # driver-metadata collect
+        if vkeys:
+            _drop_partitions(out_path, key_col, vkeys)
+            ledger.mark_removed(stage, vkeys)
     if todo.limit(1).count() > 0:
+        # pre-delete every pending partition: dynamic overwrite only
+        # replaces partitions PRESENT in the new result, so a stale key
+        # whose recompute yields zero rows would otherwise survive on disk
+        # while being ledgered done with row_count=0.  Safe under crashes:
+        # todo keys are by definition not done-under-current-hash, so a
+        # kill between delete and write just recomputes them next run.
+        todo_keys = [r["partition_key"] for r in todo.collect()]  # driver-metadata collect
+        _drop_partitions(out_path, key_col, todo_keys)
         pending = work_df.join(
             todo.withColumnRenamed("partition_key", key_col), key_col, "left_semi"
         )

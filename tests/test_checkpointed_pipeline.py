@@ -79,3 +79,127 @@ def test_partial_resume_recomputes_only_missing(spark, sf_dir, tmp_path):
     assert sum(calls) == 25
     run_checkpointed(spark, pages, workdir, cfg, counting_model)
     assert sum(calls) == 60  # only the 35 new pages hit the model
+
+
+def test_zero_row_recompute_drops_stale_partition(spark, tmp_path):
+    """Dynamic overwrite only replaces partitions present in the new result:
+    a key whose recompute yields zero rows must not resurrect old files."""
+    from relation_extraction_using_llms_spark.plans.lineage import (
+        StageLedger,
+        checkpointed_stage,
+    )
+
+    ledger = StageLedger(spark, str(tmp_path / "ledger"))
+    out = str(tmp_path / "out")
+
+    def compute(w):
+        return w.where(F.col("v") != 99)
+
+    work1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "part string, v int"
+    )
+    t1 = checkpointed_stage(ledger, "s", work1, "part", out, compute)
+    assert t1.count() == 3
+
+    # key a's input changes so its recompute filters to ZERO rows
+    work2 = spark.createDataFrame([("a", 99), ("b", 3)], "part string, v int")
+    t2 = checkpointed_stage(ledger, "s", work2, "part", out, compute)
+    assert {(r["part"], r["v"]) for r in t2.collect()} == {("b", 3)}
+
+
+def test_vanished_key_partition_dropped_and_ledgered(spark, tmp_path):
+    """A key that disappears from the input loses its output partition and
+    gets a 'removed' ledger row; reappearing later recomputes it."""
+    from relation_extraction_using_llms_spark.plans.lineage import (
+        StageLedger,
+        checkpointed_stage,
+    )
+
+    ledger = StageLedger(spark, str(tmp_path / "ledger"))
+    out = str(tmp_path / "out")
+    compute = lambda w: w  # noqa: E731
+    work1 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "part string, v int"
+    )
+    checkpointed_stage(ledger, "s", work1, "part", out, compute)
+
+    work2 = spark.createDataFrame([("b", 2)], "part string, v int")
+    t2 = checkpointed_stage(ledger, "s", work2, "part", out, compute)
+    assert {(r["part"], r["v"]) for r in t2.collect()} == {("b", 2)}
+    statuses = {
+        (r["partition_key"], r["status"])
+        for r in spark.read.parquet(str(tmp_path / "ledger")).collect()
+    }
+    assert ("a", "removed") in statuses
+
+    # key a returns -> recomputed fresh
+    t3 = checkpointed_stage(ledger, "s", work1, "part", out, compute)
+    assert {(r["part"], r["v"]) for r in t3.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_content_edit_invalidates_catalog_and_resolution(spark, sf_dir, tmp_path):
+    """Editing one page's mention content (url set unchanged) must recompute
+    that page's buckets AND the global catalog AND every resolved bucket
+    (catalog metadata can shift resolution of unchanged documents)."""
+    import json
+
+    from relation_extraction_using_llms_spark.plans.checkpointed import (
+        run_checkpointed,
+    )
+    from relation_extraction_using_llms_spark.plans.pipeline import PipelineConfig
+    from relation_extraction_using_llms_spark.sources.stub_model import make_stub_model
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    cfg = PipelineConfig(techniques=["IO"], models=["stub-large"])
+    model = make_stub_model(sf_dir)
+    pages = pages_df(spark, sf_dir).limit(30).cache()
+    u0 = pages.select("url").orderBy("url").limit(1).collect()[0]["url"]
+    wd = str(tmp_path / "wd")
+    run_checkpointed(spark, pages, wd, cfg, model)
+    ledger = spark.read.parquet(f"{wd}/ledger")
+    run1 = ledger.select("run_id").distinct().collect()[0]["run_id"]
+
+    new_html = json.dumps(
+        {
+            "documents": [
+                {
+                    "id": u0,
+                    "passages": [
+                        {
+                            "offset": 0,
+                            "text": "edited mention doc",
+                            "annotations": [
+                                {
+                                    "infons": {
+                                        "identifier": "W:edited",
+                                        "type": "GeneOrGeneProduct",
+                                    },
+                                    "text": "edited",
+                                    "locations": [{"offset": 0, "length": 6}],
+                                }
+                            ],
+                        }
+                    ],
+                    "relations": [],
+                }
+            ]
+        }
+    ).encode()
+    edited = pages.withColumn(
+        "html",
+        F.when(F.col("url") == u0, F.lit(new_html)).otherwise(F.col("html")),
+    )
+    run_checkpointed(spark, edited, wd, cfg, model)
+    ledger2 = spark.read.parquet(f"{wd}/ledger")
+    latest = {
+        (r["stage"], r["partition_key"]): r["run_id"]
+        for r in ledger2.orderBy("ts").collect()
+    }  # later rows overwrite earlier in dict order
+    # the global candidates stage recomputed (mention content fingerprint)
+    assert latest[("candidates", "all")] != run1
+    # EVERY resolved bucket recomputed (corpus content fingerprint)
+    resolved_runs = {v for (s, _), v in latest.items() if s == "resolved"}
+    assert run1 not in resolved_runs
+    # untouched clean_text buckets did NOT recompute (only u0's bucket did)
+    clean_runs = [v for (s, _), v in latest.items() if s == "clean_text"]
+    assert sum(1 for v in clean_runs if v != run1) == 1
