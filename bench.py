@@ -42,7 +42,8 @@ SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "24"))
 
 def corpus_dir(sf_dir: str, replicas: int = 1) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
-    suffix = f"_x{replicas}" if replicas > 1 else ""
+    # v2: replicas are vocabulary-salted distinct shards (see _documents)
+    suffix = f"_x{replicas}v2" if replicas > 1 else ""
     return f"/tmp/bench_corpus_{tag}{suffix}"
 
 
@@ -92,11 +93,9 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
     )
     from relation_extraction_using_llms_spark.operators.dedup import minhash_lsh_pairs
     from relation_extraction_using_llms_spark.operators.entity_catalog import (
-        entity_catalog,
+        full_catalog,
     )
     from relation_extraction_using_llms_spark.operators.linking import (
-        doc_candidates,
-        linking_catalog,
         resolve_in_document,
     )
     from relation_extraction_using_llms_spark.operators.matching import (
@@ -144,26 +143,24 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
     )
     triples_r = spark.read.parquet(triples_tbl)
 
-    # 3a. entity catalog -> per-document candidate rows (a materialized
-    # stage output in the real pipeline; measured separately from linking)
-    from relation_extraction_using_llms_spark.operators.linking import (
-        packed_candidates,
-    )
-
+    # 3a. entity catalog (one-pass salted two-phase full_catalog — the
+    # materialized entity-grain stage output; membership ids live in the
+    # gold_entities table already)
     cat_tbl = f"{corpus}/stage_candidates"
-    cat = entity_catalog(ents)
-    link_cat = linking_catalog(ents, cat)
-    packed = packed_candidates(doc_candidates(ents, link_cat))
+    cat = full_catalog(ents)
     timed(
         "q_catalog",
-        lambda: packed.write.mode("overwrite").parquet(cat_tbl) or
+        lambda: cat.write.mode("overwrite").parquet(cat_tbl) or
         spark.read.parquet(cat_tbl).count(),
     )
-    packed_r = spark.read.parquet(cat_tbl)
+    cat_r = spark.read.parquet(cat_tbl)
 
-    # 3b. linking (the Python-kernel stage; packed layout reads the fat
-    # candidate arrays straight from parquet — no shuffle)
-    resolved = resolve_in_document(triples_r, packed_df=packed_r)
+    # 3b. linking: distinct-(mention, entity) pair scoring + JVM reduction
+    resolved = resolve_in_document(
+        triples_r,
+        membership_df=ents.select("url", "entity_id"),
+        catalog_df=cat_r,
+    )
     resolved_tbl = f"{corpus}/stage_resolved"
     timed(
         "q_resolve",
@@ -208,11 +205,23 @@ def warm_workers(spark, corpus: str) -> None:
     not the engine."""
     from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
     from relation_extraction_using_llms_spark.functions.parsing import parsed_triples_df
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        full_catalog,
+    )
+    from relation_extraction_using_llms_spark.operators.linking import (
+        resolve_in_document,
+    )
 
     pages = spark.read.parquet(f"{corpus}/pages").limit(64).repartition(64)
     clean = clean_text_df(pages)
     responses = spark.read.parquet(f"{corpus}/responses").limit(64).repartition(64)
-    parsed_triples_df(responses.join(clean.select("url", "text"), "url")).count()
+    triples = parsed_triples_df(responses.join(clean.select("url", "text"), "url"))
+    ents = spark.read.parquet(f"{corpus}/gold_entities").limit(64).repartition(64)
+    resolve_in_document(
+        triples,
+        membership_df=ents.select("url", "entity_id"),
+        catalog_df=full_catalog(ents),
+    ).count()
 
 
 def run_once(master: str, shuffle_partitions: int, scaling: bool = False):

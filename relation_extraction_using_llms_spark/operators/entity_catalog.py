@@ -48,6 +48,82 @@ def mention_counts(gold_entities_df: DataFrame) -> DataFrame:
     )
 
 
+def full_catalog(
+    gold_entities_df: DataFrame,
+    top_k: int = 10,
+    first_k: int = 20,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Catalog + linking columns (entity_type, canonical_name,
+    common_mentions, mention_count, document_count, exact_forms, first20,
+    created_ord) in ONE salted two-phase aggregation pass.
+
+    Equals ``linking_catalog(ents, entity_catalog(ents))`` row-for-row
+    (parity-tested) but replaces that chain's ~8 aggregates/joins (window
+    rank, three separate groupBys, three entity_id joins) with:
+
+      occurrences -> (entity_id, form) grain [the natural salt: a hot
+      entity's forms spread across partitions] -> (entity_id, salt-bucket)
+      partials with bounded top-k/first-k arrays -> entity rows
+
+    Three map-side-combinable shuffles total, every aggregation buffer
+    bounded by ``salt_buckets * max(top_k, first_k)`` elements — the
+    shape that survives Zipfian head entities at 10^12 documents.
+    """
+    occ = gold_entities_df.select(
+        "url",
+        "entity_id",
+        "entity_type",
+        F.posexplode("mentions").alias("pos", "mention"),
+    ).select(
+        "entity_id",
+        "entity_type",
+        F.concat(F.col("url"), F.lit("#"), F.format_string("%09d", "pos")).alias("ord"),
+        F.col("mention.text").alias("text"),
+    )
+    # A: per-(entity, surface form): count, first occurrence, first type,
+    #    the form's first `first_k` occurrence keys, lowered form
+    grain = occ.groupBy("entity_id", "text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ord").alias("first_seen"),
+        F.min_by("entity_type", "ord").alias("etype"),
+        F.slice(F.array_sort(F.collect_list("ord")), 1, first_k).alias("ords"),
+    )
+    ranked_pair = F.struct(
+        (-F.col("n")).alias("neg_n"), F.col("first_seen"), F.col("text")
+    )
+    ord_pairs = F.transform(
+        "ords", lambda o: F.struct(o.alias("o"), F.col("text").alias("v"))
+    )
+    # B1: per-(entity, salt bucket) partials — arrays bounded by top_k/first_k
+    partial = grain.withColumn(
+        "salt", F.pmod(F.hash("text"), F.lit(salt_buckets))
+    ).groupBy("entity_id", "salt").agg(
+        F.slice(F.array_sort(F.collect_list(ranked_pair)), 1, top_k).alias("top_p"),
+        F.slice(F.array_sort(F.flatten(F.collect_list(ord_pairs))), 1, first_k).alias("f20_p"),
+        F.collect_set(F.lower(F.trim("text"))).alias("forms_p"),
+        F.sum("n").alias("n_p"),
+        F.count(F.lit(1)).alias("cnt_p"),
+        F.min("first_seen").alias("fs_p"),
+        F.min_by("etype", "first_seen").alias("etype_p"),
+    )
+    # B2: merge <= salt_buckets partials per entity
+    top = F.slice(F.array_sort(F.flatten(F.collect_list("top_p"))), 1, top_k)
+    f20 = F.slice(F.array_sort(F.flatten(F.collect_list("f20_p"))), 1, first_k)
+    return partial.groupBy("entity_id").agg(
+        F.min_by("etype_p", "fs_p").alias("entity_type"),
+        F.element_at(top, 1)["text"].alias("canonical_name"),
+        F.transform(top, lambda s: s["text"]).alias("common_mentions"),
+        F.sum("n_p").alias("mention_count"),
+        F.greatest(
+            F.lit(1), (F.sum("cnt_p") / 2).cast("long")
+        ).alias("document_count"),
+        F.array_distinct(F.flatten(F.collect_list("forms_p"))).alias("exact_forms"),
+        F.transform(f20, lambda s: s["v"]).alias("first20"),
+        F.min("fs_p").alias("created_ord"),
+    )
+
+
 def entity_catalog(gold_entities_df: DataFrame, top_k: int = 10) -> DataFrame:
     """ENTITY_CATALOG rows from gold entities (E1+E2)."""
     counts = mention_counts(gold_entities_df)

@@ -403,29 +403,180 @@ def _resolve_packed(pred_df, packed_df, fuzzy_threshold: float = 0.7):
     return out.select(*[f.name for f in PREDICTED.fields])
 
 
+def _pair_candidates_py(mention: str, ent: dict, fuzzy_threshold: float) -> list:
+    """All (stage, score) cascade qualifications of one (mention, entity)
+    pair.  The per-(url, mention) winner is the min of
+    (stage, -score, created_ord, entity_id) over its document's pairs —
+    exactly ``resolve_mention_py``'s staged precedence: any stage-1 hit
+    beats all stage-2, fuzzy ties resolve to the earliest-created entity."""
+    m = (mention or "").strip()
+    if not m:
+        return []
+    if m.lower() in (ent.get("exact_forms") or ()):
+        return [(1, 1.0)]
+    m_norm = norm_full(m)
+    if m_norm == norm_full(ent.get("canonical_name") or ""):
+        return [(2, 1.0)]
+    for cm in ent.get("common_mentions") or []:
+        if m_norm == norm_full(cm):
+            return [(2, 1.0)]
+    out = []
+    s3 = _similarity_score(m, ent)
+    if s3 >= fuzzy_threshold:
+        out.append((3, s3))
+    if len(m) > 10:
+        s4 = _partial_match_score(m, ent)
+        if s4 >= fuzzy_threshold:
+            out.append((4, s4))
+    return out
+
+
+def _resolve_pair_grain(
+    pred_df,
+    doc_candidates_df=None,
+    fuzzy_threshold: float = 0.7,
+    mention_salt: int = 64,
+    membership_df=None,
+    catalog_df=None,
+):
+    """Distinct-(mention, entity) resolution (mode="pairs") — the web-scale
+    layout:
+
+      1. distinct (url, mention) + per-url entity MEMBERSHIP (ids only)
+      2. distinct (mention, entity_id) candidate pairs: Zipfian mention
+         repetition collapses here — each pair is scored ONCE per corpus,
+         not once per containing document
+      3. entity metadata (the fat part) joins at ENTITY grain, mentions
+         salted into <= ``mention_salt`` chunks per entity, so hot-entity
+         metadata crosses the wire once per chunk, never once per document
+      4. a vectorized Arrow UDF runs the cascade per pair, emitting
+         (stage, score, created_ord) qualification rows
+      5. the per-(url, mention) winner is a JVM-side min over
+         struct(stage, -score, created_ord, entity_id) — the cascade
+         precedence with fully deterministic tie-breaks
+
+    Semantics match ``resolve_mention_py`` per (url, mention); only
+    same-(stage, score, created_ord) ties differ from the packed/bucketed
+    layouts (those keep candidate-array order; this breaks by entity_id).
+    """
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import functions as F
+
+    mentions = (
+        pred_df.select("url", F.col("head_mention").alias("mention"))
+        .unionByName(pred_df.select("url", F.col("tail_mention").alias("mention")))
+        .where(F.trim(F.coalesce(F.col("mention"), F.lit(""))) != "")
+        .distinct()
+    )
+    membership = (
+        membership_df.select("url", "entity_id")
+        if membership_df is not None
+        else doc_candidates_df.select("url", "entity_id")
+    )
+    pair_sites = mentions.join(membership, "url")  # (url, mention, entity_id)
+    pairs = pair_sites.select("mention", "entity_id").distinct()
+    chunked = (
+        pairs.withColumn("salt", F.pmod(F.xxhash64("mention"), F.lit(mention_salt)))
+        .groupBy("entity_id", "salt")
+        .agg(F.collect_list("mention").alias("mentions"))
+    )
+    meta = (
+        catalog_df
+        if catalog_df is not None
+        else doc_candidates_df.dropDuplicates(["entity_id"])
+    ).select(
+        "entity_id", "canonical_name", "common_mentions", "exact_forms",
+        "first20", "created_ord",
+    )
+    work = chunked.join(meta, "entity_id")
+
+    def score_fn(batches):
+        for pdf in batches:
+            rows = []
+            for eid, mlist, canonical, commons, forms, f20, ordk in zip(
+                pdf["entity_id"], pdf["mentions"], pdf["canonical_name"],
+                pdf["common_mentions"], pdf["exact_forms"], pdf["first20"],
+                pdf["created_ord"],
+            ):
+                ent = {
+                    "entity_id": eid,
+                    "canonical_name": canonical,
+                    "common_mentions": [] if commons is None else list(commons),
+                    "exact_forms": set() if forms is None else set(forms),
+                    "first20": [] if f20 is None else list(f20),
+                }
+                for m in [] if mlist is None else list(mlist):
+                    for stage, score in _pair_candidates_py(m, ent, fuzzy_threshold):
+                        rows.append((m, eid, stage, -float(score), ordk))
+            yield pd.DataFrame(
+                rows,
+                columns=["mention", "entity_id", "stage", "neg_score", "created_ord"],
+            )
+
+    scored = work.mapInPandas(
+        score_fn,
+        schema=(
+            "mention string, entity_id string, stage int, neg_score double,"
+            " created_ord string"
+        ),
+    )
+    winners = (
+        pair_sites.join(scored, ["mention", "entity_id"])
+        .groupBy("url", "mention")
+        .agg(
+            F.min(
+                F.struct("stage", "neg_score", "created_ord", "entity_id")
+            ).alias("w")
+        )
+        .select("url", "mention", F.col("w.entity_id").alias("entity_id"))
+    )
+    mention_maps = winners.groupBy("url").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("mention", "entity_id"))
+        ).alias("mention_ids")
+    )
+    from ..schemas import PREDICTED
+
+    out = (
+        pred_df.drop("head_id", "tail_id")
+        .join(mention_maps, "url", "left")
+        .withColumn("head_id", F.element_at("mention_ids", F.col("head_mention")))
+        .withColumn("tail_id", F.element_at("mention_ids", F.col("tail_mention")))
+    )
+    return out.select(*[f.name for f in PREDICTED.fields])
+
+
 def resolve_in_document(
     pred_df,
     doc_candidates_df=None,
     fuzzy_threshold: float = 0.7,
-    mode: str = "packed",
+    mode: str = "pairs",
     packed_df=None,
     n_buckets: int | None = None,
+    membership_df=None,
+    catalog_df=None,
 ):
     """Fill head_id/tail_id on predictions via the cascade against each
-    document's candidate entities.  Semantics identical in both layouts
-    (parity-tested); they differ only in where the fat entity metadata
-    travels:
+    document's candidate entities.  Semantics identical in all layouts
+    (parity-tested); they differ in where the fat entity metadata travels:
 
-    * ``packed`` (default): per-url candidate arrays; fastest when the
-      candidate table is a materialized stage output (arrays go parquet ->
-      Arrow -> Python with no shuffle).  Measured 19.4s vs bucketed 23.4s
-      at local[16] on the 24x sf0.1 corpus.
-    * ``bucketed``: entity metadata replicated per url-hash bucket (a hot
-      entity crosses the shuffle n_buckets times, not once per containing
-      document) — the skew-robust choice when metadata is large or the
-      candidate table is computed inline.  Scales 2.8x vs packed's 2.35x
-      from 4 -> 16 cores on the same corpus.
+    * ``pairs`` (default): distinct-(mention, entity) scoring with
+      entity-grain metadata and a JVM-side precedence reduction — the
+      scale path (Python cost tracks DISTINCT pairs, metadata never
+      duplicates per document).
+    * ``packed``: per-url candidate arrays; competitive when the candidate
+      table is a materialized stage output (arrays go parquet -> Arrow ->
+      Python with no shuffle) and mentions rarely repeat across documents.
+    * ``bucketed``: entity metadata replicated per url-hash bucket — the
+      middle ground when no materialized candidate table exists.
     """
+    if mode == "pairs" and doc_candidates_df is None and membership_df is None:
+        mode = "packed"  # legacy call shape: only a packed table provided
+    if mode == "pairs":
+        return _resolve_pair_grain(
+            pred_df, doc_candidates_df, fuzzy_threshold,
+            membership_df=membership_df, catalog_df=catalog_df,
+        )
     if mode == "bucketed":
         return _resolve_bucketed(pred_df, doc_candidates_df, fuzzy_threshold, n_buckets)
     packed = packed_df if packed_df is not None else packed_candidates(doc_candidates_df)

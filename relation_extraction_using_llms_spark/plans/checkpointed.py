@@ -19,14 +19,9 @@ from pyspark.sql import functions as F
 from ..functions.extraction import clean_text_df
 from ..functions.parsing import parsed_triples_df
 from ..functions.prompts import build_prompts, configs_df
-from ..operators.entity_catalog import entity_catalog
+from ..operators.entity_catalog import full_catalog
 from ..operators.gold_normalize import gold_entities, gold_relations
-from ..operators.linking import (
-    doc_candidates,
-    linking_catalog,
-    packed_candidates,
-    resolve_in_document,
-)
+from ..operators.linking import resolve_in_document
 from ..sources.llm_cache import fetch_and_cache
 from .lineage import StageLedger, checkpointed_stage
 from .pipeline import PipelineConfig
@@ -116,7 +111,7 @@ def run_checkpointed(
     # derive from mention text, so an edited mention on an unchanged
     # (url, entity_id) set must still recompute): any corpus change
     # recomputes + overwrites it
-    link_cat_packed = checkpointed_stage(
+    link_cat = checkpointed_stage(
         ledger,
         "candidates",
         ents.select(
@@ -125,9 +120,7 @@ def run_checkpointed(
         ),
         "part",
         f"{workdir}/candidates",
-        lambda _: packed_candidates(
-            doc_candidates(ents, linking_catalog(ents, entity_catalog(ents)))
-        ).withColumn("part", F.lit("all")),
+        lambda _: full_catalog(ents).withColumn("part", F.lit("all")),
     )
 
     # resolution depends on the global catalog: the corpus fingerprint is
@@ -141,7 +134,12 @@ def run_checkpointed(
         "part",
         f"{workdir}/resolved",
         lambda work: _with_bucket(
-            resolve_in_document(work, packed_df=link_cat_packed), n_buckets
+            resolve_in_document(
+                work,
+                membership_df=ents.select("url", "entity_id"),
+                catalog_df=link_cat,
+            ),
+            n_buckets,
         ),
     )
 

@@ -19,9 +19,9 @@ from ..functions.extraction import clean_text_df
 from ..functions.parsing import parse_errors_df, parsed_triples_df
 from ..functions.prompts import build_prompts, configs_df
 from ..operators.aggregate import aggregate_results
-from ..operators.entity_catalog import entity_catalog
+from ..operators.entity_catalog import full_catalog
 from ..operators.gold_normalize import gold_entities, gold_relations
-from ..operators.linking import doc_candidates, linking_catalog, resolve_in_document
+from ..operators.linking import resolve_in_document
 from ..operators.matching import evaluate_counts_df, gold_bundle
 from ..operators.metrics import eval_per_doc
 from ..sources.llm_cache import fetch_and_cache
@@ -96,9 +96,15 @@ def run_pipeline(
     errors = parse_errors_df(responses_with_text)
 
     ents = gold_entities(pages)
-    catalog = entity_catalog(ents)
-    link_cat = linking_catalog(ents, catalog)
-    resolved = resolve_in_document(triples, doc_candidates(ents, link_cat))
+    # one-pass catalog (salted two-phase; == linking_catalog(entity_catalog))
+    # + distinct-pair resolution: membership ids and entity-grain metadata
+    # travel separately — hot-entity metadata never duplicates per document
+    link_cat = full_catalog(ents)
+    resolved = resolve_in_document(
+        triples,
+        membership_df=ents.select("url", "entity_id"),
+        catalog_df=link_cat,
+    )
 
     gold_rels = gold_relations(pages, ents)
     bundle = gold_bundle(gold_rels, ents)
@@ -120,7 +126,7 @@ def run_pipeline(
         "triples": triples,
         "errors": errors,
         "gold_entities": ents,
-        "entity_catalog": catalog,
+        "entity_catalog": link_cat,
         "resolved": resolved,
         "gold_relations": gold_rels,
         "counts": counts,

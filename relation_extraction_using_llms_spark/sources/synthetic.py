@@ -275,11 +275,25 @@ def gen_response(doc: dict, technique: str, model: str) -> str:
 
 def _documents(spark, sf_dir: str, replicas: int = 1):
     """documents scan; ``replicas`` > 1 tiles the corpus with distinct
-    doc_ids (deterministic) — used to grow benchmark workloads."""
+    doc_ids (deterministic) — used to grow benchmark workloads.
+
+    Each replica's text is vocabulary-salted (every word suffixed with the
+    replica tag), so a replicated corpus is N DISTINCT shards — distinct
+    entity ids, mentions and surface forms per replica — not N byte-copies.
+    Within a replica the corpus keeps its natural Zipfian word repetition;
+    across replicas nothing dedups, which is what '24x more data' means."""
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicas > 1:
+        tag = F.concat(F.lit("r"), F.col("_r").cast("string"))
+        salted = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.when(w == "", w).otherwise(F.concat(w, tag)),
+            ),
+            " ",
+        )
         df = (
             df.withColumn(
                 "_r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
@@ -288,6 +302,7 @@ def _documents(spark, sf_dir: str, replicas: int = 1):
                 "doc_id",
                 F.col("doc_id") + F.col("_r").cast("long") * F.lit(100_000_000).cast("long"),
             )
+            .withColumn("text", salted)
             .drop("_r")
         )
     return df
