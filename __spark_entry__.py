@@ -678,6 +678,18 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_sessions_native(spark, sf_dir):
+    """Sessionization via Spark's built-in session_window (gap-merge) —
+    the same answer as the window-function formulation; shares its oracle
+    (boundary semantics differ only at exact-gap timestamps, measure-zero
+    on microsecond data)."""
+    from relation_extraction_using_llms_spark.streaming.ingest import (
+        events_sessions_native,
+    )
+
+    return events_sessions_native(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_technique_rankings(spark, sf_dir):
     """A7 rankings; oracle re-derives the per-metric windows from the agg
     snapshot (values are byte-identical snapshot reads on both sides)."""
@@ -802,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_antijoin": q_cache_antijoin,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_sessions_native": q_events_sessions_native,
         "technique_rankings": q_technique_rankings,
         "strategy_summary": q_strategy_summary,
         "per_type_metrics": q_per_type_metrics,
@@ -1456,6 +1469,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        # session_window twin shares the lag-formulation oracle: gap-merge
+        # and strict-gap sessions agree except at exact-boundary timestamps
+        "events_sessions_native": """
+            WITH gapped AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gapped
+            )
+            SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM sess GROUP BY 1
         """,
     }
 

@@ -230,22 +230,39 @@ def run_once(master: str, shuffle_partitions: int, scaling: bool = False):
     spark = get_spark("bench", master=master, shuffle_partitions=shuffle_partitions)
     corpus = materialize_corpus(spark, SF_DIR, scaling=scaling)
     warm_workers(spark, corpus)
+    # best-of-2 always: the sandbox shows intermittent multi-second
+    # co-tenant stalls that would otherwise dominate any single run
     if scaling:
-        # best-of-2 per level: the sandbox shows intermittent multi-second
-        # stalls (co-tenant noise) that would otherwise dominate a level
         times = run_stages(spark, corpus, techniques=SCALING_TECHNIQUES, models=SCALING_MODELS)
         second = run_stages(spark, corpus, techniques=SCALING_TECHNIQUES, models=SCALING_MODELS)
-        for k, v in second.items():
-            if isinstance(v, float) and k in times:
-                times[k] = min(times[k], v)
     else:
         times = run_stages(spark, corpus)
+        second = run_stages(spark, corpus)
+    for k, v in second.items():
+        if isinstance(v, float) and k in times:
+            times[k] = min(times[k], v)
     spark.stop()
     return times
 
 
+SCALE_LEVELS = [
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,8,16,32").split(",")
+]
+
+
 def main():
     scaling = "--scaling" in sys.argv
+    if "--materialize" in sys.argv:
+        # build the (scaling) corpus and exit — lets orchestration split
+        # corpus construction from timed runs
+        from relation_extraction_using_llms_spark.session import get_spark
+
+        spark = get_spark("bench-mat", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(8, int(CPUS)))
+        out = materialize_corpus(spark, SF_DIR, scaling=scaling)
+        spark.stop()
+        print(json.dumps({"materialized": out}))
+        return
     times = run_once(f"local[{CPUS}]", max(8, int(CPUS)))
     n_triples = times.pop("_n_triples")
     pipeline_sec = (
@@ -268,7 +285,7 @@ def main():
         # this box scales 3.99x from 4 -> 16 procs but only ~3.0x from
         # 8 -> 32 (all-core turbo throttling) — the 4/16 pair measures the
         # engine, not the silicon's frequency curve.  8/32 reported too.
-        for level in (4, 8, 16, 32):
+        for level in SCALE_LEVELS:
             t = run_once(f"local[{level}]", level, scaling=True)
             nt = t.pop("_n_triples")
             sec = (t["q_extract"] + t["q_parse"] + t["q_catalog"]
@@ -279,12 +296,14 @@ def main():
                 "stages": {k: v for k, v in t.items() if k.startswith("q_")},
                 "n_triples": nt,
             }
-        t4 = result["scaling_local4"]["triples_per_sec"]
-        t8 = result["scaling_local8"]["triples_per_sec"]
-        t16 = result["scaling_local16"]["triples_per_sec"]
-        t32 = result["scaling_local32"]["triples_per_sec"]
-        result["scaling_efficiency_4_to_16"] = round(t16 / (4 * t4), 3) if t4 else 0.0
-        result["scaling_efficiency_8_to_32"] = round(t32 / (4 * t8), 3) if t8 else 0.0
+        tps = {
+            lv: result[f"scaling_local{lv}"]["triples_per_sec"]
+            for lv in SCALE_LEVELS
+        }
+        if 4 in tps and 16 in tps and tps[4]:
+            result["scaling_efficiency_4_to_16"] = round(tps[16] / (4 * tps[4]), 3)
+        if 8 in tps and 32 in tps and tps[8]:
+            result["scaling_efficiency_8_to_32"] = round(tps[32] / (4 * tps[8]), 3)
     print(json.dumps(result))
 
 

@@ -449,8 +449,10 @@ def _resolve_pair_grain(
       3. entity metadata (the fat part) joins at ENTITY grain, mentions
          salted into <= ``mention_salt`` chunks per entity, so hot-entity
          metadata crosses the wire once per chunk, never once per document
-      4. a vectorized Arrow UDF runs the cascade per pair, emitting
-         (stage, score, created_ord) qualification rows
+      4. a vectorized Arrow UDF runs the full cascade per pair, emitting
+         only the (stage, score, created_ord) QUALIFICATION rows — a tiny
+         relation that joins back to mention sites before the
+         membership restriction
       5. the per-(url, mention) winner is a JVM-side min over
          struct(stage, -score, created_ord, entity_id) — the cascade
          precedence with fully deterministic tie-breaks
@@ -473,13 +475,6 @@ def _resolve_pair_grain(
         if membership_df is not None
         else doc_candidates_df.select("url", "entity_id")
     )
-    pair_sites = mentions.join(membership, "url")  # (url, mention, entity_id)
-    pairs = pair_sites.select("mention", "entity_id").distinct()
-    chunked = (
-        pairs.withColumn("salt", F.pmod(F.xxhash64("mention"), F.lit(mention_salt)))
-        .groupBy("entity_id", "salt")
-        .agg(F.collect_list("mention").alias("mentions"))
-    )
     meta = (
         catalog_df
         if catalog_df is not None
@@ -487,6 +482,16 @@ def _resolve_pair_grain(
     ).select(
         "entity_id", "canonical_name", "common_mentions", "exact_forms",
         "first20", "created_ord",
+    )
+    # Distinct (mention, entity) pairs: collect_set dedups inside the
+    # entity-grain aggregation (mention strings dropped to (mention,
+    # entity_id) before the shuffle; no separate distinct pass).
+    chunked = (
+        mentions.join(membership, "url")
+        .select("mention", "entity_id")
+        .withColumn("salt", F.pmod(F.xxhash64("mention"), F.lit(mention_salt)))
+        .groupBy("entity_id", "salt")
+        .agg(F.collect_set("mention").alias("mentions"))
     )
     work = chunked.join(meta, "entity_id")
 
@@ -520,8 +525,13 @@ def _resolve_pair_grain(
             " created_ord string"
         ),
     )
+    # Winner per site: qualifications (small — only pairs that passed some
+    # cascade stage) join back to mention sites FIRST, then the result is
+    # membership-restricted — the fat site x entity relation never carries
+    # mention strings through a second shuffle.
     winners = (
-        pair_sites.join(scored, ["mention", "entity_id"])
+        mentions.join(scored, "mention")
+        .join(membership, ["url", "entity_id"], "left_semi")
         .groupBy("url", "mention")
         .agg(
             F.min(

@@ -70,3 +70,25 @@ def events_hourly_stream(events_stream: DataFrame) -> DataFrame:
         )
         .select(F.col("w.start").alias("hour"), "event_type", "n", "sum_value")
     )
+
+
+def events_sessions_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` (gap-merge
+    sessions; works identically on a watermarked stream with
+    ``applyInPandasWithState``-free built-in state).  Per-user session and
+    event counts — the built-in twin of the window-function formulation in
+    __spark_entry__.q_events_sessions.
+
+    Boundary note: ``session_window`` closes a session when the next event
+    lands >= gap after the previous one, while the lag-based formulation
+    starts a new session strictly beyond the gap; with sub-second event
+    timestamps the exact-boundary case is measure-zero (asserted equal on
+    the shipped corpus).
+    """
+    sess = events.withColumn("ts", F.col("ts").cast("timestamp")).groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )

@@ -182,3 +182,26 @@ def test_global_lsh_linking_agrees_with_cascade(spark, sf_dir):
             assert got == want, (m, got, want)
             n_checked += 1
     assert n_checked > 50
+
+
+def test_ngram_jaccard_hot_shingle_denominator(spark):
+    """Jaccard uses the post-hot-filter shingle universe for BOTH the
+    shared count and the per-doc sizes (the oracle's kept-set semantics)."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e g")] + [
+        (i, "a b c") for i in range(3, 213)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # shingle 'a b c' is shared by 212 docs > 200 -> dropped; kept sets are
+    # {bcd,cde,def} vs {bcd,cde,deg}: jaccard = 2/(3+3-2) = 0.5.
+    # Pre-filter sizes (4,4) would give 2/6 = 0.333 and miss the 0.4 cut.
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, n=3, threshold=0.4, max_docs_per_shingle=200
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0.5
