@@ -316,22 +316,25 @@ def q_model_ranking(spark, sf_dir):
 
 
 def q_canonical_triples(spark, sf_dir):
+    """Connected-components canonicalization + triple materialization; the
+    DuckDB oracle re-derives the alias graph (shared exact forms, 50-cap
+    star edges) and the components themselves via a RECURSIVE CTE over the
+    same snapshots — a hard check on the one iterative algorithm.
+    (subj_bucket is excluded: Spark murmur hash has no DuckDB twin; it
+    stays covered by pytest.)"""
     from relation_extraction_using_llms_spark.operators.canonicalize import (
         canonical_mapping,
         materialize_triples,
     )
     from relation_extraction_using_llms_spark.operators.entity_catalog import (
-        entity_catalog,
+        full_catalog,
     )
-    from relation_extraction_using_llms_spark.operators.linking import linking_catalog
-    from relation_extraction_using_llms_spark.sources.synthetic import gold_entities_df
 
     resolved = spark.read.parquet(_stage_snapshots(spark, sf_dir)["resolved"])
-    ents = gold_entities_df(spark, sf_dir)
-    link_cat = linking_catalog(ents, entity_catalog(ents))
-    cmap = canonical_mapping(link_cat)
+    ents = spark.read.parquet(_ents_input_snapshot(spark, sf_dir))
+    cmap = canonical_mapping(full_catalog(ents))
     return materialize_triples(resolved, cmap).select(
-        "subj", "pred", "obj", "url", "technique", "model", "subj_bucket"
+        "subj", "pred", "obj", "url", "technique", "model"
     )
 
 
@@ -748,6 +751,10 @@ def q_match_details(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Feature plumbing check: the first feature component re-scaled to its
+    source uint16 (exact across float32 transport) so the DuckDB twin can
+    recompute it from sha256 hex — verifies blob hashing, Arrow batch
+    shape and the media-type routing."""
     from relation_extraction_using_llms_spark.operators.multimodal import (
         attach_fake_media,
         extract_features,
@@ -755,7 +762,9 @@ def q_multimodal_features(spark, sf_dir):
 
     media = attach_fake_media(_docs(spark, sf_dir))
     return extract_features(media).select(
-        "doc_id", "media_type", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "doc_id",
+        "media_type",
+        F.round(F.element_at("feature", 1) * 65535).cast("int").alias("f0_u16"),
     )
 
 
@@ -1132,6 +1141,48 @@ def _snapshot_oracles() -> dict[str, str]:
         FROM sc
     """
 
+    # Connected components via RECURSIVE CTE: seed every node with its own
+    # id, propagate along symmetric edges, take the min reachable label —
+    # equals the Spark hash-to-min fixpoint (component = min node id).
+    out["canonical_triples"] = f"""
+        WITH RECURSIVE occ AS (
+          SELECT entity_id, unnest(mentions) AS m
+          FROM {snap('gold_entities_input')}
+        ), eforms AS (
+          SELECT DISTINCT entity_id,
+                 lower(trim(struct_extract(m, 'text'))) AS form
+          FROM occ
+        ), buckets AS (
+          SELECT form, (list(entity_id ORDER BY entity_id))[1:50] AS ents
+          FROM eforms GROUP BY form
+        ), star AS (
+          SELECT ents[1] AS src, unnest(ents) AS dst
+          FROM buckets WHERE len(ents) > 1
+        ), edges AS (
+          SELECT src, dst FROM star WHERE src <> dst
+        ), sym AS (
+          SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM sym
+        ), walk(node, label) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT s.dst, w.label FROM walk w JOIN sym s ON w.node = s.src
+        ), cc AS (
+          SELECT node, min(label) AS canonical FROM walk GROUP BY node
+        ), t AS (
+          SELECT * FROM {snap('resolved')}
+          WHERE head_id IS NOT NULL AND tail_id IS NOT NULL
+        )
+        SELECT coalesce(h.canonical, t.head_id) AS subj,
+               t.relation_type AS pred,
+               coalesce(tl.canonical, t.tail_id) AS obj,
+               t.url, t.technique, t.model
+        FROM t
+        LEFT JOIN cc h ON h.node = t.head_id
+        LEFT JOIN cc tl ON tl.node = t.tail_id
+    """
+
     out["per_type_metrics"] = f"""
         WITH typed AS (
           SELECT url, technique, model, strategy, with_types, kind,
@@ -1469,6 +1520,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(value), 6) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        # fake-media plumbing twins: media metadata is deterministic
+        # arithmetic on doc_id and the stub features are sha256-derived —
+        # both reproducible in DuckDB (hex digits parsed positionally)
+        "multimodal_features": """
+            WITH hx AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                     END AS media_type,
+                     sha256(text) AS h
+              FROM documents
+            ), d AS (
+              SELECT doc_id, media_type,
+                     strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS h1,
+                     strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS h2,
+                     strpos('0123456789abcdef', substr(h, 3, 1)) - 1 AS h3,
+                     strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS h4
+              FROM hx
+            )
+            SELECT doc_id, media_type,
+                   CAST(h1 * 4096 + h2 * 256 + h3 * 16 + h4 AS INT) AS f0_u16
+            FROM d
+        """,
+        "multimodal_frames": """
+            SELECT doc_id,
+                   CAST(unnest(range(0, CAST(doc_id % 24 + 1 AS INT), 4)) AS INT)
+                     AS frame_index
+            FROM documents WHERE doc_id % 3 = 2
+        """,
+        "multimodal_resize": """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                     END AS media_type,
+                     CAST((doc_id * 37) % 512 + 64 AS INT) AS width,
+                     CAST((doc_id * 53) % 512 + 64 AS INT) AS height
+              FROM documents
+            )
+            SELECT doc_id, media_type, width, height,
+                   CAST(round(width * least(1.0, 256.0 / greatest(width, height)))
+                        AS INT) AS target_width,
+                   CAST(round(height * least(1.0, 256.0 / greatest(width, height)))
+                        AS INT) AS target_height
+            FROM m
         """,
         # session_window twin shares the lag-formulation oracle: gap-merge
         # and strict-gap sessions agree except at exact-boundary timestamps
