@@ -6,6 +6,8 @@ Partition key per stage:
   clean_text / gold tables  url-hash bucket (``part``)
   responses                 (technique, model) via the cache anti-join
   triples / resolved        url-hash bucket
+  counts / eval_per_doc     url-hash bucket (fingerprint spans preds+gold)
+  eval_aggregate            single 'all' partition (global aggregate)
 
 The ledger doubles as the per-stage metrics table
 (stage, partition_key, row_count, status, run_id) — ``StageLedger.stage_metrics``.
@@ -39,7 +41,7 @@ def run_checkpointed(
     model_fn=None,
     n_buckets: int = 32,
 ) -> dict[str, DataFrame]:
-    """Run the extraction->triples pipeline with every stage checkpointed.
+    """Run the extraction->evaluation pipeline with every stage checkpointed.
 
     Stages already marked done in ``workdir/ledger`` are skipped; partial
     completions recompute only missing partition keys.  Returns the
@@ -143,6 +145,78 @@ def run_checkpointed(
         ),
     )
 
+    # evaluation stages, also ledgered (north_rule: ANY stage resumes).
+    # counts/per_doc are per-url-bucket; their work fingerprint covers BOTH
+    # inputs (resolved predictions AND gold content) via per-part row
+    # signatures, so an edited gold relation recomputes exactly its bucket.
+    from ..operators.aggregate import aggregate_results
+    from ..operators.matching import evaluate_counts_df, gold_bundle
+    from ..operators.metrics import eval_per_doc
+
+    combos = [(t, m) for t in cfg.techniques for m in cfg.models]
+
+    def _sig(df):
+        return df.select(
+            "part",
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])).alias("sig"),
+        )
+
+    eval_work = _sig(resolved).unionByName(_sig(gold_rels)).unionByName(_sig(ents))
+
+    def _parts(pending):
+        return pending.select("part").distinct()
+
+    def _compute_counts(pending):
+        parts = _parts(pending)
+        preds = resolved.join(parts, "part", "left_semi")
+        ents_p = ents.join(parts, "part", "left_semi")
+        rels_p = gold_rels.join(parts, "part", "left_semi")
+        return _with_bucket(
+            evaluate_counts_df(
+                preds,
+                gold_bundle(rels_p, ents_p),
+                strategies=cfg.strategies,
+                with_types_variants=cfg.with_types_variants,
+                combos=combos,
+            ),
+            n_buckets,
+        )
+
+    counts = checkpointed_stage(
+        ledger, "counts", eval_work, "part", f"{workdir}/counts", _compute_counts
+    )
+
+    def _compute_per_doc(pending):
+        parts = _parts(pending)
+        return _with_bucket(
+            eval_per_doc(
+                counts.join(parts, "part", "left_semi"),
+                resolved.join(parts, "part", "left_semi"),
+                gold_rels.join(parts, "part", "left_semi"),
+            ),
+            n_buckets,
+        )
+
+    per_doc = checkpointed_stage(
+        ledger,
+        "eval_per_doc",
+        _sig(counts).unionByName(_sig(resolved)).unionByName(_sig(gold_rels)),
+        "part",
+        f"{workdir}/eval_per_doc",
+        _compute_per_doc,
+    )
+
+    # the aggregate is global: a single 'all' partition fingerprinted over
+    # the full per-doc content — any change anywhere recomputes it
+    agg = checkpointed_stage(
+        ledger,
+        "eval_aggregate",
+        _sig(per_doc).withColumn("part", F.lit("all")),
+        "part",
+        f"{workdir}/eval_aggregate",
+        lambda _: aggregate_results(per_doc).withColumn("part", F.lit("all")),
+    )
+
     return {
         "clean_text": clean,
         "gold_entities": ents,
@@ -150,5 +224,8 @@ def run_checkpointed(
         "responses": responses,
         "triples": triples,
         "resolved": resolved,
+        "counts": counts,
+        "eval_per_doc": per_doc,
+        "eval_aggregate": agg,
         "ledger": ledger.stage_metrics(),
     }

@@ -46,9 +46,18 @@ def test_kill_and_resume_equals_clean_run(spark, sf_dir, tmp_path):
     again = run_checkpointed(spark, pages, crash_dir, cfg, model)
     assert _key(again["resolved"].collect()) == want
 
+    # evaluation stages are checkpointed too and equal the plain pipeline's
+    agg = {
+        (r["technique"], r["model"], r["strategy"], r["with_types"]):
+        (r["total_tp"], r["total_fp"], r["total_fn"])
+        for r in resumed["eval_aggregate"].collect()
+    }
+    assert agg and all(sum(v) > 0 for v in agg.values())
+
     # ledger doubles as the metrics table
     metrics = {r["stage"]: r for r in resumed["ledger"].collect()}
-    for stage in ("clean_text", "gold_entities", "gold_relations", "triples", "resolved"):
+    for stage in ("clean_text", "gold_entities", "gold_relations", "triples",
+                  "resolved", "counts", "eval_per_doc", "eval_aggregate"):
         assert stage in metrics, stage
         assert metrics[stage]["rows"] > 0
     # the crashed+resumed ledger shows two distinct run ids contributed
@@ -203,3 +212,17 @@ def test_content_edit_invalidates_catalog_and_resolution(spark, sf_dir, tmp_path
     # untouched clean_text buckets did NOT recompute (only u0's bucket did)
     clean_runs = [v for (s, _), v in latest.items() if s == "clean_text"]
     assert sum(1 for v in clean_runs if v != run1) == 1
+    # eval follows its inputs BY CONTENT: although every resolved bucket
+    # was rewritten, untouched buckets produced byte-identical rows, so
+    # only the edited doc's counts bucket recomputes — and the global
+    # aggregate (content-fingerprinted over all per-doc rows) recomputes
+    assert latest[("eval_aggregate", "all")] != run1
+    b0 = (
+        spark.createDataFrame([(u0,)], "url string")
+        .select(F.pmod(F.hash("url"), F.lit(32)).cast("string").alias("b"))
+        .collect()[0]["b"]
+    )
+    assert latest[("counts", b0)] != run1
+    assert any(
+        v == run1 for (s, k), v in latest.items() if s == "counts" and k != b0
+    ), "unchanged counts buckets must skip recompute"
