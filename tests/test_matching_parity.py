@@ -62,7 +62,11 @@ def _ref_gold_obj(doc):
         for r in doc["relations"]
         if r["head_id"] in ids and r["tail_id"] in ids
     ]
-    relations.sort(key=lambda r: r.id)  # our gold iteration order
+    # insertion (document) order == our packed numeric rel-ordinal order;
+    # NOT lexicographic (R10 must come after R2)
+    import re
+
+    relations.sort(key=lambda r: int(re.search(r"(\d+)$", r.id).group(1)))
     return ref_types.GoldRelations(
         doc_id=doc["url"], entities=entities, relations=relations,
         title="", body="", file_path="",
@@ -269,3 +273,98 @@ def test_metrics_parity(spark, spark_eval, ref_predictions, corpus):
                     strategy,
                     ours_col,
                 )
+
+
+def test_gold_iteration_order_12_relations():
+    """Greedy matching is order-dependent: with 12 gold relations the
+    reference iterates in insertion order (R2 before R10).  Our packed
+    ordering is the numeric rel-ordinal — assignment-level parity here;
+    lexicographic ordering (the round-1 bug) would assign R10 instead."""
+    from relation_extraction_using_llms_spark.operators.matching import run_strategy
+
+    ents = [
+        ref_types.Entity(
+            id="A", type="GeneOrGeneProduct",
+            mentions=[ref_types.Mention("alpha", 0, 0, 0, 5)],
+        ),
+        ref_types.Entity(
+            id="B", type="GeneOrGeneProduct",
+            mentions=[ref_types.Mention("beta", 0, 0, 0, 4)],
+        ),
+    ] + [
+        ref_types.Entity(
+            id=f"F{k}", type="ChemicalEntity",
+            mentions=[ref_types.Mention(f"unrelated-filler-{k}", 0, 0, 0, 10)],
+        )
+        for k in range(10)
+    ]
+    rels = []
+    fill = iter(range(10))
+    for k in range(12):
+        if k in (2, 10):  # duplicate-content golds: score ties for any pred
+            rels.append(ref_types.Relation(f"R{k}", "A", "B", "Association", "No"))
+        else:
+            f = next(fill)
+            rels.append(
+                ref_types.Relation(f"R{k}", f"F{f}", "A", "Comparison", "No")
+            )
+    gold_obj = ref_types.GoldRelations(
+        doc_id="u", entities=ents, relations=rels, title="", body="", file_path="",
+    )
+    pred = ref_types.ParsedRelation(
+        head_mention="alpha", tail_mention="beta", relation_type="Association",
+        head_id="A", tail_id="B", confidence=1.0,
+    )
+    ref_tp, _, _, _ = ref_text.TextRelationMatcher().match(
+        [pred], gold_obj, match_type=True
+    )
+    assert len(ref_tp) == 1 and ref_tp[0].id == "R2"  # insertion order wins
+
+    mention_map = {e.id: [m.text for m in e.mentions] for e in ents}
+    golds = [
+        {
+            "rel_id": r.id, "head_id": r.head_id, "tail_id": r.tail_id,
+            "rel_type": r.type,
+            "head_mentions": mention_map[r.head_id],
+            "tail_mentions": mention_map[r.tail_id],
+        }
+        for r in rels  # numeric/insertion order — what packed_eval_input emits
+    ]
+    preds = [
+        {
+            "pred_index": 0, "head_mention": "alpha", "tail_mention": "beta",
+            "relation_type": "Association", "head_id": "A", "tail_id": "B",
+        }
+    ]
+    ours = run_strategy("text", preds, golds, True)
+    got = [d["gold"]["rel_id"] for d in ours if d["kind"] == "tp"]
+    assert got == ["R2"]
+
+    # regression guard: lexicographic gold order (R10 < R2) picks the wrong one
+    lex = run_strategy("text", preds, sorted(golds, key=lambda g: g["rel_id"]), True)
+    assert [d["gold"]["rel_id"] for d in lex if d["kind"] == "tp"] == ["R10"]
+
+
+def test_packed_eval_input_orders_golds_numerically(spark):
+    """packed_eval_input sorts the gold array by numeric rel ordinal."""
+    from relation_extraction_using_llms_spark.operators.matching import (
+        packed_eval_input,
+    )
+
+    gold_rows = [
+        ("u", f"R{k}", f"H{k}", f"T{k}", "Association", [f"h{k}"], [f"t{k}"])
+        for k in (0, 2, 10, 11, 1)
+    ]
+    bundle = spark.createDataFrame(
+        gold_rows,
+        "url string, rel_id string, head_id string, tail_id string,"
+        " rel_type string, head_mentions array<string>, tail_mentions array<string>",
+    )
+    preds = spark.createDataFrame(
+        [("u", "IO", "m", 0, "h0", "t0", "Association", "H0", "T0")],
+        "url string, technique string, model string, pred_index int,"
+        " head_mention string, tail_mention string, relation_type string,"
+        " head_id string, tail_id string",
+    )
+    row = packed_eval_input(preds, bundle, [("IO", "m")]).collect()[0]
+    assert [g["rel_id"] for g in row["golds"]] == ["R0", "R1", "R2", "R10", "R11"]
