@@ -407,6 +407,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=10).select("query_id", "vec_id", "rank")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer + probed exact re-score) — rows-only
+    by design (approximate; recall-vs-exact containment tested in pytest)."""
+    from relation_extraction_using_llms_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10).select("query_id", "vec_id", "rank")
+
+
 def q_token_count(spark, sf_dir):
     from relation_extraction_using_llms_spark.functions.textstats import token_count
 
@@ -810,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_token_count,
         "text_language_id": q_language_id,
         "text_quality": q_quality_score,

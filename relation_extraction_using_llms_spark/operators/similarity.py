@@ -112,6 +112,84 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: a distributed KMeans coarse quantizer
+    partitions the unit-normalized corpus into ``n_lists`` inverted lists;
+    each query probes only its ``n_probe`` nearest lists and re-scores
+    candidates with exact cosine.
+
+    The classic alternative to LSH blocking: recall is controlled by
+    ``n_probe`` and scan cost is ~``n_probe / n_lists`` of brute force.
+    Tune to the data: clustered real-world embeddings reach high recall at
+    small ``n_probe``; near-uniform high-dimensional vectors (like the
+    synthetic test embeddings) need ``n_probe`` ~ half of ``n_lists``.
+    Everything is DataFrame ops — KMeans.fit is a distributed JVM
+    estimator, the centroid table is model METADATA (n_lists x dim,
+    broadcastable at any corpus size), and list membership is a plain
+    equi-join key that co-locates candidate generation."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def unit(df, idc, out_id):
+        n = _NORM(F.col("embedding"))
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.transform(
+                "embedding", lambda x: (x / F.when(n > 0, n)).cast("double")
+            ).alias("unit"),
+        ).withColumn("features", array_to_vector("unit"))
+
+    corpus = unit(embeddings, id_col, "vec_id")
+    q = unit(queries, query_id_col, "query_id")
+    km = KMeans(
+        k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id"
+    ).fit(corpus)
+    corpus_l = km.transform(corpus).select("vec_id", "unit", "list_id")
+
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(km.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "unit",
+            "list_id",
+            _DOT(F.col("unit"), F.col("centroid")).alias("cdist"),
+        )
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", F.col("unit").alias("q_unit"), "list_id")
+    )
+    scored = probes.join(corpus_l, "list_id").select(
+        "query_id",
+        "vec_id",
+        _DOT(F.col("q_unit"), F.col("unit")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def rag_context(
     clean_text: DataFrame,
     snippets: DataFrame,

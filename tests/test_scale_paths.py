@@ -205,3 +205,35 @@ def test_ngram_jaccard_hot_shingle_denominator(spark):
         ).collect()
     }
     assert pairs.get((1, 2)) == 0.5
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF probing recovers most exact neighbors; with n_probe == n_lists
+    it IS brute force (exact equality)."""
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in brute_force_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in ivf_topk(emb, queries, k=10, n_lists=8, n_probe=5).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # full probe == exact
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=10, n_lists=8, n_probe=8).collect()
+    }
+    want = {(q, v) for q, vs in exact.items() for v in vs}
+    assert full == want
