@@ -751,6 +751,18 @@ def q_per_type_metrics(spark, sf_dir):
     )
 
 
+def q_match_classification(spark, sf_dir):
+    """Q11 — the logger's 4-way per-prediction classification cascade
+    (document_logger.py:104-186) as set-membership joins; the oracle
+    re-derives the same EXISTS logic over the details snapshot."""
+    from relation_extraction_using_llms_spark.operators.matching import (
+        classify_matches,
+    )
+
+    det = spark.read.parquet(_stage_snapshots(spark, sf_dir)["details"])
+    return classify_matches(det)
+
+
 def q_match_details(spark, sf_dir):
     """Q12 detailed per-prediction/gold match records (evaluator.py:269-361,
     document_exporter.py) — rows-only by design (greedy matcher output)."""
@@ -841,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_summary": q_strategy_summary,
         "per_type_metrics": q_per_type_metrics,
         "match_details": q_match_details,
+        "match_classification": q_match_classification,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
@@ -1194,6 +1207,84 @@ def _snapshot_oracles() -> dict[str, str]:
         FROM t
         LEFT JOIN cc h ON h.node = t.head_id
         LEFT JOIN cc tl ON tl.node = t.tail_id
+    """
+
+    # Q11 classification: per-prediction status by SET membership over the
+    # document's whole evaluation result (document_logger.py:104-186) —
+    # symmetric tuple sets expressed as EXISTS over the details snapshot
+    out["match_classification"] = f"""
+        WITH base AS (
+          SELECT url, technique, model, strategy, with_types,
+                 pred_head, pred_tail, pred_type, pred_head_id, pred_tail_id
+          FROM {snap('details')} WHERE kind IN ('tp', 'semantic', 'fp')
+        ), tp_set AS (
+          SELECT DISTINCT url, technique, model, strategy, with_types, x, y, z
+          FROM (
+            SELECT url, technique, model, strategy, with_types,
+                   gold_head_id AS x, gold_tail_id AS y, gold_type AS z
+            FROM {snap('details')} WHERE kind = 'tp'
+            UNION ALL
+            SELECT url, technique, model, strategy, with_types,
+                   gold_tail_id, gold_head_id, gold_type
+            FROM {snap('details')} WHERE kind = 'tp')
+        ), partial_set AS (
+          SELECT DISTINCT url, technique, model, strategy, with_types, x, y
+          FROM (
+            SELECT url, technique, model, strategy, with_types,
+                   pred_head_id AS x, pred_tail_id AS y
+            FROM {snap('details')}
+            WHERE kind = 'semantic' AND score >= 0.5 AND score < 0.95
+              AND pred_head_id IS NOT NULL AND pred_tail_id IS NOT NULL
+            UNION ALL
+            SELECT url, technique, model, strategy, with_types,
+                   pred_tail_id, pred_head_id
+            FROM {snap('details')}
+            WHERE kind = 'semantic' AND score >= 0.5 AND score < 0.95
+              AND pred_head_id IS NOT NULL AND pred_tail_id IS NOT NULL)
+        ), fp_set AS (
+          SELECT DISTINCT url, technique, model, strategy, with_types, x, y, z
+          FROM (
+            SELECT url, technique, model, strategy, with_types,
+                   pred_head_id AS x, pred_tail_id AS y, pred_type AS z
+            FROM {snap('details')}
+            WHERE kind = 'fp' AND pred_head_id IS NOT NULL
+              AND pred_tail_id IS NOT NULL
+            UNION ALL
+            SELECT url, technique, model, strategy, with_types,
+                   pred_tail_id, pred_head_id, pred_type
+            FROM {snap('details')}
+            WHERE kind = 'fp' AND pred_head_id IS NOT NULL
+              AND pred_tail_id IS NOT NULL)
+        )
+        SELECT b.url, b.technique, b.model, b.strategy, b.with_types,
+               b.pred_head, b.pred_tail, b.pred_type,
+               b.pred_head_id, b.pred_tail_id,
+               CASE
+                 WHEN b.pred_head_id IS NULL OR b.pred_tail_id IS NULL
+                   THEN 'unresolved'
+                 WHEN EXISTS (SELECT 1 FROM tp_set t
+                              WHERE t.url = b.url AND t.technique = b.technique
+                                AND t.model = b.model AND t.strategy = b.strategy
+                                AND t.with_types = b.with_types
+                                AND t.x = b.pred_head_id AND t.y = b.pred_tail_id
+                                AND t.z = b.pred_type)
+                   THEN 'exact_match'
+                 WHEN EXISTS (SELECT 1 FROM partial_set p
+                              WHERE p.url = b.url AND p.technique = b.technique
+                                AND p.model = b.model AND p.strategy = b.strategy
+                                AND p.with_types = b.with_types
+                                AND p.x = b.pred_head_id AND p.y = b.pred_tail_id)
+                   THEN 'partial_match'
+                 WHEN EXISTS (SELECT 1 FROM fp_set f
+                              WHERE f.url = b.url AND f.technique = b.technique
+                                AND f.model = b.model AND f.strategy = b.strategy
+                                AND f.with_types = b.with_types
+                                AND f.x = b.pred_head_id AND f.y = b.pred_tail_id
+                                AND f.z = b.pred_type)
+                   THEN 'hallucination'
+                 ELSE 'unknown'
+               END AS status
+        FROM base b
     """
 
     out["per_type_metrics"] = f"""

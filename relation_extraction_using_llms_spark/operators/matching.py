@@ -564,6 +564,105 @@ def evaluate_counts_df(
     return work.mapInPandas(fn, schema=EVAL_COUNTS_SCHEMA)
 
 
+def classify_matches(details_df):
+    """Q11 — the reference logger's 4-way per-prediction classification
+    (document_logger.py:104-186): each prediction is labeled by SET
+    membership over the document's whole evaluation result, not by its own
+    match kind — exact_match if its (head, tail, type) tuple appears among
+    the true-positive gold tuples (either direction), else partial_match
+    if its entity pair appears among the semantic-match pairs, else
+    hallucination if among the false-positive tuples, preceded by
+    unresolved when entity linking failed.  Pure joins against
+    symmetric-closed key sets — no Python."""
+    from pyspark.sql import functions as F
+
+    keys = ["url", "technique", "model", "strategy", "with_types"]
+    base = details_df.where(F.col("kind").isin("tp", "semantic", "fp")).select(
+        *keys, "kind", "pred_head", "pred_tail", "pred_type",
+        "pred_head_id", "pred_tail_id",
+    )
+
+    def sym(df, a, b, extra=None):
+        cols = [*keys, F.col(a).alias("x"), F.col(b).alias("y")] + (
+            [F.col(extra).alias("z")] if extra else []
+        )
+        rev = [*keys, F.col(b).alias("x"), F.col(a).alias("y")] + (
+            [F.col(extra).alias("z")] if extra else []
+        )
+        return df.select(*cols).unionByName(df.select(*rev)).distinct()
+
+    def keyed(df, flag):
+        out = df.withColumn(flag, F.lit(True))
+        for k in keys:
+            out = out.withColumnRenamed(k, f"k_{k}")
+        return out
+
+    tp_set = keyed(
+        sym(
+            details_df.where(F.col("kind") == "tp"),
+            "gold_head_id", "gold_tail_id", "gold_type",
+        ),
+        "is_tp",
+    )
+    # partial = the evaluator's score window over semantic matches
+    # (evaluator.py:175-186: 0.5 <= score < 0.95)
+    partial_set = keyed(
+        sym(
+            details_df.where(
+                (F.col("kind") == "semantic")
+                & (F.col("score") >= 0.5)
+                & (F.col("score") < 0.95)
+                & F.col("pred_head_id").isNotNull()
+                & F.col("pred_tail_id").isNotNull()
+            ),
+            "pred_head_id", "pred_tail_id",
+        ),
+        "is_partial",
+    )
+    fp_set = keyed(
+        sym(
+            details_df.where(
+                (F.col("kind") == "fp")
+                & F.col("pred_head_id").isNotNull()
+                & F.col("pred_tail_id").isNotNull()
+            ),
+            "pred_head_id", "pred_tail_id", "pred_type",
+        ),
+        "is_fp",
+    )
+
+    def flag_join(cur, right, value_conds):
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (cur[k] == right[f"k_{k}"])
+        for a, b in value_conds:
+            cond = cond & (cur[a] == right[b])
+        joined = cur.join(right, cond, "left")
+        return joined.drop(*[f"k_{k}" for k in keys], "x", "y", "z")
+
+    out = flag_join(
+        base, tp_set, [("pred_head_id", "x"), ("pred_tail_id", "y"), ("pred_type", "z")]
+    )
+    out = flag_join(out, partial_set, [("pred_head_id", "x"), ("pred_tail_id", "y")])
+    out = flag_join(
+        out, fp_set, [("pred_head_id", "x"), ("pred_tail_id", "y"), ("pred_type", "z")]
+    )
+    status = (
+        F.when(
+            F.col("pred_head_id").isNull() | F.col("pred_tail_id").isNull(),
+            "unresolved",
+        )
+        .when(F.col("is_tp"), "exact_match")
+        .when(F.col("is_partial"), "partial_match")
+        .when(F.col("is_fp"), "hallucination")
+        .otherwise("unknown")
+    )
+    return out.select(
+        *keys, "pred_head", "pred_tail", "pred_type",
+        "pred_head_id", "pred_tail_id", status.alias("status"),
+    )
+
+
 def evaluate_details_df(
     pred_df,
     gold_bundle_df,

@@ -368,3 +368,87 @@ def test_packed_eval_input_orders_golds_numerically(spark):
     )
     row = packed_eval_input(preds, bundle, [("IO", "m")]).collect()[0]
     assert [g["rel_id"] for g in row["golds"]] == ["R0", "R1", "R2", "R10", "R11"]
+
+
+def test_match_classification_parity(spark, tmp_path):
+    """Q11 differential: classify_matches equals the real DocumentLogger
+    cascade — including the cross-row case where a duplicate prediction
+    whose own kind is FP classifies as exact_match because its tuple
+    appears among the document's true-positive gold tuples."""
+    ref_logger_mod = ref_module("pipeline.evaluation.document_logger")
+    from pathlib import Path
+
+    from relation_extraction_using_llms_spark.operators.matching import (
+        EVAL_DETAILS_SCHEMA,
+        classify_matches,
+        run_strategy,
+    )
+
+    mk = lambda h, t, ty, hid, tid, i: ref_types.ParsedRelation(  # noqa: E731
+        head_mention=h, tail_mention=t, relation_type=ty,
+        head_id=hid, tail_id=tid, confidence=1.0,
+    )
+    preds_ref = [
+        mk("alpha", "beta", "Association", "A", "B", 0),
+        mk("alpha2", "beta2", "Association", "A", "B", 1),   # dup tuple -> FP kind
+        mk("alpha3", "beta3", "Bind", "A", "B", 2),          # type differs -> partial
+        mk("gamma", "delta", "Association", "C", "D", 3),    # no gold -> halluc
+        mk("ghost", "phantom", "Association", None, None, 4),  # unresolved
+    ]
+    ents = [
+        ref_types.Entity(id=i, type="GeneOrGeneProduct",
+                         mentions=[ref_types.Mention(i.lower(), 0, 0, 0, 1)])
+        for i in ["A", "B", "C", "D"]
+    ]
+    gold_obj = ref_types.GoldRelations(
+        doc_id="u",
+        entities=ents,
+        relations=[ref_types.Relation("R0", "A", "B", "Association", "No")],
+        title="", body="", file_path="",
+    )
+    tp, fp, fn, sem = ref_exact.ExactMatcher(match_type=True).match(
+        preds_ref, gold_obj, match_type=True
+    )
+    er = ref_types.EvaluationResult(
+        doc_id="u", strategy="exact",
+        true_positives=tp, false_positives=fp, false_negatives=fn,
+        partial_matches=[(p, g) for p, g, s in sem if 0.5 <= s < 0.95],
+        semantic_matches=sem,
+    )
+    logger = ref_logger_mod.DocumentLogger(output_dir=Path(tmp_path))
+    ref_status = {
+        r["head_mention"]: r["status"]
+        for r in logger._classify_relations(preds_ref, er)
+    }
+
+    # our side: same doc through run_strategy -> details rows -> classify
+    preds = [
+        {"pred_index": i, "head_mention": p.head_mention,
+         "tail_mention": p.tail_mention, "relation_type": p.relation_type,
+         "head_id": p.head_id, "tail_id": p.tail_id}
+        for i, p in enumerate(preds_ref)
+    ]
+    golds = [
+        {"rel_id": "R0", "head_id": "A", "tail_id": "B",
+         "rel_type": "Association", "head_mentions": ["a"], "tail_mentions": ["b"]}
+    ]
+    details = run_strategy("exact", preds, golds, True)
+    rows = []
+    for d in details:
+        p, g = d["pred"] or {}, d["gold"] or {}
+        rows.append(
+            ("u", "IO", "m", "exact", True, d["kind"],
+             p.get("head_mention"), p.get("tail_mention"), p.get("relation_type"),
+             p.get("head_id"), p.get("tail_id"),
+             g.get("rel_id"), g.get("head_id"), g.get("tail_id"),
+             g.get("rel_type"), float(d["score"]))
+        )
+    det_df = spark.createDataFrame(rows, EVAL_DETAILS_SCHEMA)
+    ours = {
+        r["pred_head"]: r["status"] for r in classify_matches(det_df).collect()
+    }
+    assert ours == ref_status, (ours, ref_status)
+    assert set(ref_status.values()) == {
+        "exact_match", "partial_match", "hallucination", "unresolved"
+    }
+    assert ref_status["alpha2"] == "exact_match"  # FP kind, exact status
