@@ -92,3 +92,69 @@ def events_sessions_native(events: DataFrame, gap: str = "30 minutes") -> DataFr
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: incremental entity-catalog maintenance.
+# ---------------------------------------------------------------------------
+
+CATALOG_STATE_SCHEMA = (
+    "mention_count long, forms array<string>, form_counts array<long>"
+)
+CATALOG_UPDATE_SCHEMA = (
+    "entity_id string, mention_count long, n_forms_tracked int,"
+    " canonical_guess string"
+)
+
+
+def incremental_catalog_updates(
+    mention_stream: DataFrame, max_forms: int = 64
+):
+    """Streaming twin of the batch entity catalog: maintain per-entity
+    cumulative mention counts and a BOUNDED top-form table across
+    micro-batches via ``applyInPandasWithState`` (north_star: custom
+    stateful operators for incremental arrival).
+
+    Input: a stream of (entity_id, text) mention occurrences.  State per
+    entity is capped at ``max_forms`` (count-ranked; ties by form string),
+    so a Zipfian head entity holds O(max_forms) state no matter how many
+    mentions arrive.  Emits one update row per entity per micro-batch:
+    (entity_id, cumulative mention_count, n_forms_tracked,
+    canonical_guess = current top form).
+    """
+    import pandas as pd
+
+    def update_fn(key, pdfs, state):
+        counts: dict[str, int] = {}
+        total = 0
+        if state.exists:
+            total, forms, form_counts = state.get
+            counts = dict(zip(list(forms), [int(c) for c in form_counts]))
+        for pdf in pdfs:
+            for t in pdf["text"]:
+                if t is None:
+                    continue
+                total += 1
+                counts[t] = counts.get(t, 0) + 1
+        # bound the state: keep the max_forms highest-count forms
+        kept = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_forms]
+        state.update((total, [k for k, _ in kept], [v for _, v in kept]))
+        canonical = kept[0][0] if kept else None
+        yield pd.DataFrame(
+            {
+                "entity_id": [key[0]],
+                "mention_count": [total],
+                "n_forms_tracked": [len(kept)],
+                "canonical_guess": [canonical],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return mention_stream.groupBy("entity_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=CATALOG_UPDATE_SCHEMA,
+        stateStructType=CATALOG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

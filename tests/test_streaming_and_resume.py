@@ -156,3 +156,51 @@ def test_response_cache_resume(spark, sf_dir, tmp_path):
     r3 = fetch_and_cache(prompts_wide, cache_path, counting_model)
     assert r3.count() == 60
     assert calls == [40, 20]
+
+
+def test_incremental_catalog_state_accumulates_across_drains(spark, tmp_path):
+    """applyInPandasWithState catalog maintenance: cumulative counts and
+    the bounded top-form state survive across AvailableNow drains via the
+    checkpoint; the second drain updates only the groups that changed."""
+    from relation_extraction_using_llms_spark.streaming.ingest import (
+        incremental_catalog_updates,
+    )
+
+    src = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "entity_id string, text string"
+
+    def drain(name):
+        out = str(tmp_path / f"out_{name}")
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            incremental_catalog_updates(stream, max_forms=2)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["entity_id"]: r for r in spark.read.parquet(out).collect()
+        }
+
+    batch1 = [("E1", "alpha"), ("E1", "alpha"), ("E1", "beta"), ("E2", "gamma")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    got1 = drain("cat_drain1")
+    assert got1["E1"]["mention_count"] == 3
+    assert got1["E1"]["canonical_guess"] == "alpha"
+    assert got1["E2"]["mention_count"] == 1
+
+    # batch 2: E1 gains a third distinct form (state capped at 2 forms) and
+    # 'beta' overtakes 'alpha'; E2 untouched -> not re-emitted (update mode)
+    batch2 = [("E1", "beta"), ("E1", "beta"), ("E1", "delta")]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    got2 = drain("cat_drain2")
+    assert set(got2) == {"E1"}
+    assert got2["E1"]["mention_count"] == 6  # 3 + 3, state carried over
+    assert got2["E1"]["canonical_guess"] == "beta"
+    assert got2["E1"]["n_forms_tracked"] == 2  # bounded
