@@ -156,3 +156,53 @@ def test_entity_catalog_parity(spark, sf_dir, corpus):
         if len(set(m.text for m in ge.all_mentions)) > 3:
             n_tie_rich += 1
     assert n_tie_rich > 5  # ties/top-k actually exercised
+
+
+def test_full_catalog_hot_entity_skew(spark):
+    """A pathological head entity (100k mentions, 60 distinct forms over
+    2,000 docs) flows through the salted two-phase catalog with correct
+    top-k/first-k/counts — the aggregation the Zipfian web head hits."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        full_catalog,
+    )
+
+    # hot entity: doc d (0..1999) carries 50 mentions; form f"form{j%60}";
+    # form0 is globally most frequent; the earliest occurrence overall is
+    # (url d=0000, pos 0) -> form0 => canonical and created_ord anchor
+    docs = spark.range(2000).select(
+        F.format_string("https://h/%04d", F.col("id")).alias("url"),
+        F.lit("HOT").alias("entity_id"),
+        F.lit("GeneOrGeneProduct").alias("entity_type"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(49)),
+            lambda j: F.struct(
+                F.concat(
+                    F.lit("form"),
+                    F.pmod(j + F.col("id"), F.lit(60)).cast("string"),
+                ).alias("text"),
+                F.lit(0).cast("int").alias("passage_index"),
+                F.lit(0).cast("int").alias("passage_offset"),
+                F.lit(0).cast("int").alias("char_offset"),
+                F.lit(5).cast("int").alias("length"),
+            ),
+        ).alias("mentions"),
+    )
+    tail = spark.createDataFrame(
+        [("https://h/t", "COLD", "ChemicalEntity",
+          [{"text": "rare", "passage_index": 0, "passage_offset": 0,
+            "char_offset": 0, "length": 4}])],
+        docs.schema,
+    )
+    cat = {r["entity_id"]: r for r in full_catalog(docs.unionByName(tail)).collect()}
+    hot = cat["HOT"]
+    assert hot["mention_count"] == 2000 * 50
+    assert len(hot["common_mentions"]) == 10
+    assert len(hot["first20"]) == 20
+    assert len(hot["exact_forms"]) == 60
+    # first20 = the 50 mentions of the lexicographically-first url, pos 0..19
+    assert hot["first20"] == [f"form{j % 60}" for j in range(20)]
+    assert hot["created_ord"].startswith("https://h/0000#")
+    assert cat["COLD"]["canonical_name"] == "rare"
+    assert cat["COLD"]["document_count"] == 1

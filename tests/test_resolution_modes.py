@@ -121,3 +121,100 @@ def test_full_catalog_equals_chain(spark, sf_dir):
     a, b = key(chain), key(fused)
     assert len(a) == len(b) > 0
     assert a == b
+
+
+def test_pairs_mode_randomized_parity_with_cascade(spark):
+    """Seeded-random adversarial corpus (overlapping surface forms, shared
+    prefixes, near-miss mutations, long mentions for the partial stage):
+    the pair-grain Spark reduction equals the sequential Python cascade
+    run per (url, mention) over the same catalog rows."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        full_catalog,
+    )
+    from relation_extraction_using_llms_spark.operators.linking import (
+        resolve_in_document,
+        resolve_mention_py,
+    )
+
+    rng = random.Random(1234)
+    base_forms = ["aa", "ab", "ba", "abc", "abd", "xyz", "xyw",
+                  "shared token", "shared text", "longer mention text here"]
+    pool = [f"E{k}" for k in range(12)]
+    ent_forms = {
+        e: rng.sample(base_forms, rng.randint(1, 4)) for e in pool
+    }
+    gold_rows = []
+    pred_rows = []
+    for d in range(250):
+        url = f"https://r/{d:04d}"
+        ents = rng.sample(pool, rng.randint(1, 4))
+        for e in ents:
+            mentions = [
+                {"text": rng.choice(ent_forms[e]), "passage_index": 0,
+                 "passage_offset": 0, "char_offset": 0, "length": 3}
+                for _ in range(rng.randint(1, 3))
+            ]
+            gold_rows.append((url, e, "GeneOrGeneProduct", mentions))
+        for i in range(rng.randint(1, 4)):
+            base = rng.choice(base_forms)
+            m = {
+                0: base,
+                1: base.upper(),
+                2: base + "x",               # near-miss
+                3: base + " factor extra",   # long -> partial stage
+                4: "zz-" + str(rng.randint(0, 9)),  # garbage
+            }[rng.randint(0, 4)]
+            pred_rows.append((url, "IO", "m", i, m, rng.choice(base_forms),
+                              "Association", 1.0, None, None))
+    schema = ("url string, entity_id string, entity_type string, mentions"
+              " array<struct<text:string,passage_index:int,passage_offset:int,"
+              "char_offset:int,length:int>>")
+    ents_df = spark.createDataFrame(gold_rows, schema)
+    preds = spark.createDataFrame(
+        pred_rows,
+        "url string, technique string, model string, pred_index int,"
+        " head_mention string, tail_mention string, relation_type string,"
+        " confidence double, head_id string, tail_id string",
+    )
+    cat = full_catalog(ents_df)
+    got = {
+        (r["url"], r["pred_index"]): (r["head_id"], r["tail_id"])
+        for r in resolve_in_document(
+            preds,
+            membership_df=ents_df.select("url", "entity_id"),
+            catalog_df=cat,
+        ).collect()
+    }
+
+    # expected: sequential cascade per (url, mention) over the same catalog
+    cat_rows = {
+        r["entity_id"]: {
+            "entity_id": r["entity_id"],
+            "canonical_name": r["canonical_name"],
+            "common_mentions": list(r["common_mentions"] or []),
+            "exact_forms": set(r["exact_forms"] or []),
+            "first20": list(r["first20"] or []),
+            "created_ord": r["created_ord"],
+        }
+        for r in cat.collect()
+    }
+    members: dict = {}
+    for url, e, _, _ in gold_rows:
+        members.setdefault(url, set()).add(e)
+    n_diff = 0
+    n_resolved = 0
+    for url, _, _, i, hm, tm, _, _, _, _ in pred_rows:
+        cands = sorted(
+            (cat_rows[e] for e in members.get(url, ())),
+            key=lambda c: (c["created_ord"], c["entity_id"]),
+        )
+        want = (resolve_mention_py(hm, cands), resolve_mention_py(tm, cands))
+        n_resolved += want[0] is not None
+        if got[(url, i)] != want:
+            n_diff += 1
+    assert n_diff == 0, n_diff
+    assert n_resolved > 100  # the corpus exercises real resolution
