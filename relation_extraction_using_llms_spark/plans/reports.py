@@ -49,3 +49,30 @@ def write_run_artifacts(
     if details is not None:
         write(details, "match_details", ["strategy"])
     return out
+
+
+def write_graph_tables(
+    triples_df: DataFrame, path: str, fmt: str = "parquet"
+) -> dict[str, str]:
+    """Materialize the final knowledge graph (north_star: partitioned graph
+    tables): edges partitioned by ``subj_bucket`` so subject-keyed reads
+    prune to one bucket, plus a per-predicate edge-count summary.  At a
+    warehouse this write targets an Iceberg table bucketed by subj; the
+    layout contract (bucket column = pmod(hash(subj), n)) is identical."""
+    from pyspark.sql import functions as F
+
+    edges_path = f"{path}/edges"
+    getattr(
+        triples_df.write.mode("overwrite").partitionBy("subj_bucket"), fmt
+    )(edges_path)
+    summary_path = f"{path}/predicate_summary"
+    summary = (
+        triples_df.groupBy("pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("subj").alias("n_subjects"),
+            F.countDistinct("obj").alias("n_objects"),
+        )
+    )
+    getattr(summary.write.mode("overwrite"), fmt)(summary_path)
+    return {"edges": edges_path, "predicate_summary": summary_path}

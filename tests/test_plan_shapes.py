@@ -95,3 +95,32 @@ def test_whole_stage_codegen_covers_metric_math(spark, sf_dir):
     assert "isFinalPlan=true" in plan, plan
     # codegen stages render as "*(n)" prefixes in the executed-plan string
     assert "*(" in plan, plan
+
+
+def test_graph_table_subject_reads_prune_partitions(spark, sf_dir, tmp_path):
+    """Edges written partitionBy(subj_bucket): a subject-keyed read scans
+    exactly one partition (PartitionFilters on the scan)."""
+    from relation_extraction_using_llms_spark.operators.canonicalize import (
+        materialize_triples,
+    )
+    from relation_extraction_using_llms_spark.plans.reports import (
+        write_graph_tables,
+    )
+
+    preds = spark.createDataFrame(
+        [(f"https://u/{i}", "IO", "m", 0, "a", "b", "Association", 0.9,
+          f"E{i % 7}", f"E{(i + 1) % 7}") for i in range(100)],
+        "url string, technique string, model string, pred_index int,"
+        " head_mention string, tail_mention string, relation_type string,"
+        " confidence double, head_id string, tail_id string",
+    )
+    paths = write_graph_tables(materialize_triples(preds), str(tmp_path / "g"))
+    edges = spark.read.parquet(paths["edges"])
+    one_subj = edges.where(F.col("subj") == "E3")
+    bucket = one_subj.select("subj_bucket").distinct().collect()
+    assert len(bucket) == 1
+    pruned = edges.where(F.col("subj_bucket") == bucket[0]["subj_bucket"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "subj_bucket" in plan
+    summary = {r["pred"]: r for r in spark.read.parquet(paths["predicate_summary"]).collect()}
+    assert summary["Association"]["n_edges"] == 100
