@@ -1540,12 +1540,19 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN tp ON tp.l_orderkey = coalesce(ng.l_orderkey, np.l_orderkey)
             ), per_doc AS (
               SELECT l_orderkey, tp, n_pred - tp AS fp, n_gold - tp AS fn,
-                     CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END AS precision,
-                     CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END AS recall
+                     CASE WHEN n_pred > 0 THEN tp * 1.0 / n_pred ELSE 0.0 END AS p_raw,
+                     CASE WHEN n_gold > 0 THEN tp * 1.0 / n_gold ELSE 0.0 END AS r_raw
               FROM m
             ), pd2 AS (
-              SELECT *, CASE WHEN precision + recall > 0
-                   THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+              -- macro inputs must be the SAME values the Spark side averages:
+              -- q_match_metrics_sql emits per-doc p/r/f1 rounded to 9, so
+              -- round here too (f1 from raw p/r, THEN rounded — like Spark)
+              SELECT l_orderkey, tp, fp, fn,
+                     round(p_raw, 9) AS precision,
+                     round(r_raw, 9) AS recall,
+                     round(CASE WHEN p_raw + r_raw > 0
+                         THEN 2 * p_raw * r_raw / (p_raw + r_raw)
+                         ELSE 0.0 END, 9) AS f1
               FROM per_doc
             )
             SELECT o_orderpriority, count(*) AS n_docs,
