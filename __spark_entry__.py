@@ -380,9 +380,11 @@ def q_dedup_embedding(spark, sf_dir):
         embedding_near_dup_pairs,
     )
 
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95).select(
-        "vec_a", "vec_b"
-    )
+    # pinned to the exhaustive path: the DuckDB oracle is all-pairs, so the
+    # auto->LSH routing (recall < 1) must never kick in here
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.95, method="exact"
+    ).select("vec_a", "vec_b")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -979,8 +981,9 @@ def _snapshot_oracles() -> dict[str, str]:
         JOIN ents t ON t.url = k.url AND t.eid = k.tail_id
     """
 
-    # first-seen order key: url || '#' || zero-padded pos compares identically
-    # to Spark's struct(url, pos) (urls never contain chars below '#')
+    # first-seen order key: url || chr(1) || zero-padded pos compares
+    # identically to Spark's struct(url, pos) for any url without \x00/\x01
+    # (chr(1) sorts below every printable char, so prefix urls order right)
     out["entity_catalog"] = f"""
         WITH occ0 AS (
           SELECT url, entity_id, entity_type,
@@ -990,7 +993,7 @@ def _snapshot_oracles() -> dict[str, str]:
         ), occ AS (
           SELECT url, entity_id, entity_type,
                  struct_extract(m, 'text') AS text,
-                 url || '#' || printf('%09d', pos) AS ord
+                 url || chr(1) || printf('%09d', pos) AS ord
           FROM occ0
         ), cnt AS (
           SELECT entity_id, text, count(*) AS n,

@@ -58,7 +58,7 @@ def materialize_corpus(spark, sf_dir: str, scaling: bool = False) -> str:
 
     replicas = SCALING_REPLICAS if scaling else 1
     out = corpus_dir(sf_dir, replicas)
-    marker = f"{out}/_DONE"
+    marker = f"{out}/_DONE_v3"
     # 64-way layout: parquet row groups only split at file boundaries for
     # small files, so a deterministic multi-file layout keeps every level's
     # scans parallel (mirrors a real many-file table).
@@ -77,6 +77,17 @@ def materialize_corpus(spark, sf_dir: str, scaling: bool = False) -> str:
         stub_responses_df(spark, sf_dir, techniques, models, replicas=replicas).repartition(
             64
         ).write.mode("overwrite").parquet(f"{out}/responses")
+        if scaling:
+            # replicated (vocabulary-salted) documents: the dedup stage must
+            # be measured on the level-scaled input, or its wall time is a
+            # fixed-size job that can never show core scaling
+            from relation_extraction_using_llms_spark.sources.synthetic import (
+                _documents,
+            )
+
+            _documents(spark, sf_dir, replicas).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(f"{out}/documents")
         open(marker, "w").close()
     return out
 
@@ -185,8 +196,14 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
     agg = aggregate_results(eval_per_doc(counts, resolved_r, gold_rels))
     timed("q_evaluate", lambda: agg.count())
 
-    # 6. training-data ops at sf scale
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # 6. training-data ops — in scaling mode the dedup runs on the
+    # level-scaled (replicated, vocabulary-salted) documents shard so its
+    # wall time can actually drop with cores; default mode keeps the fixed
+    # sf input for round-over-round comparability
+    docs_path = f"{corpus}/documents"
+    if not os.path.exists(docs_path):
+        docs_path = f"{SF_DIR}/documents.parquet"
+    docs = spark.read.parquet(docs_path)
     timed("q_dedup_minhash", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 32).select(

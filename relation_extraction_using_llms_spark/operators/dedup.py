@@ -216,9 +216,21 @@ def embedding_near_dup_pairs(
     the scale path: random-projection LSH blocking on unit vectors + exact
     cosine on candidates only.  The default ``"auto"`` routes to LSH above
     ``max_exact_rows`` (bounded probe, not a full count) so the public API
-    is never an accidental 10^12-row crossJoin."""
+    is never an accidental 10^12-row crossJoin; because LSH recall is < 1,
+    the switch is surfaced as a warning — callers needing exhaustive pairs
+    must pin ``method="exact"`` explicitly."""
     if method == "auto":
         probe = embeddings.limit(max_exact_rows + 1).count()
+        if probe > max_exact_rows:
+            import warnings
+
+            warnings.warn(
+                f"embedding_near_dup_pairs: input exceeds {max_exact_rows} "
+                "rows; auto-routing to approximate LSH blocking (recall < 1)."
+                " Pass method='exact' to force exhaustive all-pairs, or"
+                " method='lsh' to silence this warning.",
+                stacklevel=2,
+            )
         method = "exact" if probe <= max_exact_rows else "lsh"
     if method == "lsh":
         return _embedding_near_dup_lsh(embeddings, threshold, id_col)
@@ -266,11 +278,23 @@ def _embedding_near_dup_lsh(
     from pyspark.ml.functions import array_to_vector
 
     n = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x))
-    unit = embeddings.select(
-        F.col(id_col).alias("vid"),
-        array_to_vector(
-            F.transform("embedding", lambda x: (x / F.when(n > 0, n)).cast("double"))
-        ).alias("features"),
+    # zero-norm embeddings are excluded (mirrors minhash_lsh_pairs' size
+    # guard): a zero vector can never reach a positive cosine threshold.
+    # The divisor keeps the when-guard because Catalyst may merge this
+    # filter with the LSH's own hash-UDF predicate and evaluate the
+    # division on excluded rows (ANSI DIVIDE_BY_ZERO otherwise).
+    nc = F.col("_n")
+    unit = (
+        embeddings.withColumn("_n", n)
+        .where(F.col("_n") > 0)
+        .select(
+            F.col(id_col).alias("vid"),
+            array_to_vector(
+                F.transform(
+                    "embedding", lambda x: F.coalesce(x / F.when(nc > 0, nc), F.lit(0.0)).cast("double")
+                )
+            ).alias("features"),
+        )
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",

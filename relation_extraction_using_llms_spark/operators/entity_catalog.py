@@ -78,7 +78,11 @@ def full_catalog(
     ).select(
         "entity_id",
         "entity_type",
-        F.concat(F.col("url"), F.lit("#"), F.format_string("%09d", "pos")).alias("ord"),
+        # \x01 separator: sorts below every printable char, so the string
+        # order key agrees with mention_counts' struct(url, pos) ordering
+        # even for prefix urls or urls containing chars below '#' (only a
+        # url containing \x00/\x01 could diverge)
+        F.concat(F.col("url"), F.lit("\x01"), F.format_string("%09d", "pos")).alias("ord"),
         F.col("mention.text").alias("text"),
     )
     # A: per-(entity, surface form): count, first occurrence, first type,

@@ -164,7 +164,9 @@ def linking_catalog(gold_entities_df, catalog_df):
     ).select(
         "url",
         "entity_id",
-        F.concat(F.col("url"), F.lit("#"), F.format_string("%09d", "pos")).alias("ord"),
+        # \x01 separator: keeps string order identical to struct(url, pos)
+        # for prefix urls / urls with sub-'#' chars (see full_catalog)
+        F.concat(F.col("url"), F.lit("\x01"), F.format_string("%09d", "pos")).alias("ord"),
         F.col("m.text").alias("text"),
     )
     exact_forms = (
@@ -560,33 +562,50 @@ def resolve_in_document(
     pred_df,
     doc_candidates_df=None,
     fuzzy_threshold: float = 0.7,
-    mode: str = "pairs",
+    mode: str = "auto",
     packed_df=None,
     n_buckets: int | None = None,
     membership_df=None,
     catalog_df=None,
+    auto_threshold: int = 500_000,
 ):
     """Fill head_id/tail_id on predictions via the cascade against each
     document's candidate entities.  Semantics identical in all layouts
     (parity-tested); they differ in where the fat entity metadata travels:
 
-    * ``pairs`` (default): distinct-(mention, entity) scoring with
-      entity-grain metadata and a JVM-side precedence reduction — the
-      scale path (Python cost tracks DISTINCT pairs, metadata never
-      duplicates per document).
+    * ``pairs``: distinct-(mention, entity) scoring with entity-grain
+      metadata and a JVM-side precedence reduction — the scale path
+      (Python cost tracks DISTINCT pairs, metadata never duplicates per
+      document).
     * ``packed``: per-url candidate arrays; competitive when the candidate
       table is a materialized stage output (arrays go parquet -> Arrow ->
       Python with no shuffle) and mentions rarely repeat across documents.
     * ``bucketed``: entity metadata replicated per url-hash bucket — the
       middle ground when no materialized candidate table exists.
+    * ``auto`` (default): pick by input size with a BOUNDED probe —
+      ``pred_df.limit(auto_threshold + 1).count()`` (a scan that stops
+      early, never a full count).  Small inputs take ``packed`` (the
+      pair-grain layout's ~3 extra shuffles are pure fixed cost there);
+      anything bigger takes ``pairs``, whose Python cost tracks distinct
+      (mention, entity) pairs — the Zipfian-collapse that wins at web
+      scale.  Same answer either way (layout parity is tested); only
+      same-(stage, score, created_ord) ties can differ.
     """
-    if mode == "pairs" and doc_candidates_df is None and membership_df is None:
+    if mode in ("pairs", "auto") and doc_candidates_df is None and membership_df is None:
         mode = "packed"  # legacy call shape: only a packed table provided
+    if mode == "auto":
+        probe = pred_df.limit(auto_threshold + 1).count()
+        mode = "packed" if probe <= auto_threshold else "pairs"
     if mode == "pairs":
         return _resolve_pair_grain(
             pred_df, doc_candidates_df, fuzzy_threshold,
             membership_df=membership_df, catalog_df=catalog_df,
         )
+    if doc_candidates_df is None and membership_df is not None and catalog_df is not None:
+        # membership (url, entity_id) x entity-grain catalog -> per-doc rows
+        doc_candidates_df = membership_df.select("url", "entity_id").join(
+            catalog_df, "entity_id"
+        ).select(*_ENT_COLS)
     if mode == "bucketed":
         return _resolve_bucketed(pred_df, doc_candidates_df, fuzzy_threshold, n_buckets)
     packed = packed_df if packed_df is not None else packed_candidates(doc_candidates_df)

@@ -342,13 +342,53 @@ def match_family(
     return details
 
 
+def make_embedding_kernel(embed_fn, cache_size: int = 262144):
+    """Text-similarity kernel from any ``text -> vector`` embedding
+    function — THE injection point for a served embedding model (sbert /
+    bertscore, reference sbert_matcher.py:73-268, bertscore_matcher.py:
+    27-547).  Pass the result via ``kernels={"sbert": kernel}`` to
+    ``evaluate_counts_df`` / ``evaluate_details_df`` / ``run_strategy``;
+    no operator code changes needed.  The kernel is pair-cached (surface
+    forms repeat massively) and must stay pure: same texts -> same score.
+    Plain dict cache, not lru_cache — the kernel ships to executors inside
+    a UDF closure and lru_cache wrappers of local functions do not
+    pickle."""
+    cache: dict = {}
+
+    def kernel(t1: str, t2: str) -> float:
+        if not t1 or not t2:
+            return 0.0
+        key = (t1, t2)
+        got = cache.get(key)
+        if got is not None:
+            return got
+        if norm_ws(t1) == norm_ws(t2):
+            score = 1.0
+        else:
+            a, b = embed_fn(t1), embed_fn(t2)
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(y * y for y in b))
+            score = max(0.0, dot / (na * nb)) if na > 0 and nb > 0 else 0.0
+        if len(cache) >= cache_size:
+            cache.clear()
+        cache[key] = score
+        return score
+
+    return kernel
+
+
 def run_strategy(
     strategy: str,
     preds: list[dict],
     golds: list[dict],
     match_type: bool,
     threshold: float | None = None,
+    kernels: dict | None = None,
 ) -> list[dict]:
+    """``kernels`` overrides TEXT_KERNELS per strategy name (e.g. a served
+    embedding model wrapped by ``make_embedding_kernel`` for sbert /
+    bertscore); unlisted strategies keep their defaults."""
     thr = DEFAULT_THRESHOLDS.get(strategy, 0.7) if threshold is None else threshold
     if strategy == "exact":
         return match_exact(preds, golds, match_type)
@@ -358,7 +398,8 @@ def run_strategy(
         return match_text(preds, golds, match_type, thr)
     if strategy == "ensemble":
         return match_family(preds, golds, ensemble_kernel(), match_type, thr)
-    return match_family(preds, golds, TEXT_KERNELS[strategy], match_type, thr)
+    kernel = (kernels or {}).get(strategy) or TEXT_KERNELS[strategy]
+    return match_family(preds, golds, kernel, match_type, thr)
 
 
 # ---------------------------------------------------------------------------
@@ -506,13 +547,18 @@ def evaluate_counts_df(
     with_types_variants: Iterable[bool] = (True, False),
     combos: list[tuple[str, str]] | None = None,
     thresholds: dict | None = None,
+    kernels: dict | None = None,
 ):
     """Per-(url, combo, strategy, with_types) match counts.
 
     Prediction order inside each packed array is parse order (pred_index
     leads the struct, so array_sort orders by it); gold order is numeric
     rel-ordinal (insertion) order — both deterministic, matching the greedy
-    matchers' iteration contract (SURVEY.md §7.3 risk 2)."""
+    matchers' iteration contract (SURVEY.md §7.3 risk 2).
+
+    ``kernels``: per-strategy similarity-kernel overrides (see
+    ``make_embedding_kernel``) — how a served sbert/bertscore embedder
+    plugs in; it is shipped to executors inside the UDF closure."""
     strategies = list(strategies)
     wt_variants = list(with_types_variants)
     thresholds = thresholds or {}
@@ -533,7 +579,8 @@ def evaluate_counts_df(
                     for strategy in strategies:
                         for wt in wt_variants:
                             details = run_strategy(
-                                strategy, preds, golds, wt, thresholds.get(strategy)
+                                strategy, preds, golds, wt,
+                                thresholds.get(strategy), kernels,
                             )
                             sem = [d for d in details if d["kind"] == "semantic"]
                             n_partial = sum(
@@ -670,9 +717,11 @@ def evaluate_details_df(
     with_types: bool = True,
     combos: list[tuple[str, str]] | None = None,
     thresholds: dict | None = None,
+    kernels: dict | None = None,
 ):
     """Per-prediction/gold detailed match records (evaluator.py:269-361,
-    document_exporter.py) — also the input for per-type metrics (Q7)."""
+    document_exporter.py) — also the input for per-type metrics (Q7).
+    ``kernels`` as in ``evaluate_counts_df``."""
     strategies = list(strategies)
     thresholds = thresholds or {}
     if combos is None:
@@ -693,7 +742,7 @@ def evaluate_details_df(
                     for strategy in strategies:
                         details = run_strategy(
                             strategy, preds, golds, with_types,
-                            thresholds.get(strategy),
+                            thresholds.get(strategy), kernels,
                         )
                         for d in details:
                             p, g = d["pred"] or {}, d["gold"] or {}

@@ -78,13 +78,26 @@ def lsh_topk(
     from pyspark.ml.functions import array_to_vector
 
     def unit(df, idc, out_id):
-        n = _NORM(F.col("embedding"))
-        return df.select(
-            F.col(idc).alias(out_id),
-            F.col("embedding"),
-            array_to_vector(
-                F.transform("embedding", lambda x: (x / F.when(n > 0, n)).cast("double"))
-            ).alias("features"),
+        # zero-norm vectors are dropped up front — they can never reach any
+        # cosine threshold.  The divisor KEEPS the when-guard: Catalyst can
+        # merge this filter with the LSH transform's own hash-UDF predicate
+        # into one conjunct and evaluate the division on filtered-out rows,
+        # which under ANSI mode would raise DIVIDE_BY_ZERO; a NULL divisor
+        # is inert because the row is excluded anyway.
+        n = F.col("_n")
+        return (
+            df.withColumn("_n", _NORM(F.col("embedding")))
+            .where(F.col("_n") > 0)
+            .select(
+                F.col(idc).alias(out_id),
+                F.col("embedding"),
+                array_to_vector(
+                    F.transform(
+                        "embedding",
+                        lambda x: F.coalesce(x / F.when(n > 0, n), F.lit(0.0)).cast("double"),
+                    )
+                ).alias("features"),
+            )
         )
 
     corpus = unit(embeddings, id_col, "vec_id")
@@ -140,13 +153,22 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector
 
     def unit(df, idc, out_id):
-        n = _NORM(F.col("embedding"))
-        return df.select(
-            F.col(idc).alias(out_id),
-            F.transform(
-                "embedding", lambda x: (x / F.when(n > 0, n)).cast("double")
-            ).alias("unit"),
-        ).withColumn("features", array_to_vector("unit"))
+        # drop zero-norm vectors (see lsh_topk, incl. the ANSI note on the
+        # when-guarded divisor): they cannot be normalized and can never
+        # win a cosine ranking
+        n = F.col("_n")
+        return (
+            df.withColumn("_n", _NORM(F.col("embedding")))
+            .where(F.col("_n") > 0)
+            .select(
+                F.col(idc).alias(out_id),
+                F.transform(
+                    "embedding",
+                    lambda x: F.coalesce(x / F.when(n > 0, n), F.lit(0.0)).cast("double"),
+                ).alias("unit"),
+            )
+            .withColumn("features", array_to_vector("unit"))
+        )
 
     corpus = unit(embeddings, id_col, "vec_id")
     q = unit(queries, query_id_col, "query_id")
@@ -163,13 +185,21 @@ def ivf_topk(
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cdist").desc(), F.col("list_id").asc()
     )
+    # Probe order must match the quantizer's ASSIGNMENT metric (KMeans =
+    # euclidean).  Learned centroids are not unit-norm, so argmax q.c !=
+    # argmin ||q-c||; with unit q, minimizing ||q-c||^2 = 1 - 2q.c + ||c||^2
+    # is maximizing q.c - ||c||^2/2 — rank by that, or probed lists can
+    # exclude even the query's own cluster.
     probes = (
         q.crossJoin(F.broadcast(centroids))
         .select(
             "query_id",
             "unit",
             "list_id",
-            _DOT(F.col("unit"), F.col("centroid")).alias("cdist"),
+            (
+                _DOT(F.col("unit"), F.col("centroid"))
+                - _DOT(F.col("centroid"), F.col("centroid")) / 2.0
+            ).alias("cdist"),
         )
         .withColumn("pr", F.row_number().over(probe_w))
         .where(F.col("pr") <= n_probe)

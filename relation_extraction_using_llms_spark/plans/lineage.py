@@ -26,8 +26,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Hive/Spark partition-path escaping (escapePathName): these chars (and
-# control chars) appear %XX-encoded in "<col>=<value>" directory names.
-_ESCAPE_CHARS = set('"#%\'*/:=?\\{}[]^')
+# control chars 0x00-0x1F plus DEL 0x7F) appear %XX-encoded in
+# "<col>=<value>" directory names.  This is Hive's exact charToEscape set —
+# note '}' is NOT escaped by Hive/Spark; a mismatch here makes
+# _drop_partitions derive a different directory name than Spark wrote, so
+# stale files would survive a resume.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {"\x7f"}
 
 
 def _partition_dir(out_path: str, key_col: str, value) -> str:

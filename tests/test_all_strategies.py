@@ -102,3 +102,53 @@ def test_run_strategy_empty_inputs():
         out2 = run_strategy(strategy, preds, golds, True)
         kinds = sorted(d["kind"] for d in out2)
         assert kinds == ["tp"], (strategy, out2)
+
+
+def test_custom_embedding_kernel_injects_into_sbert(spark):
+    """make_embedding_kernel is the served-model injection point: swapping
+    the embedder must change sbert outcomes without touching operator code,
+    both in the pure kernel path and through the Spark UDF closure."""
+    from relation_extraction_using_llms_spark.operators.matching import (
+        evaluate_counts_df,
+        make_embedding_kernel,
+        run_strategy,
+    )
+
+    preds = [{
+        "pred_index": 0, "head_mention": "alpha", "tail_mention": "beta",
+        "relation_type": "Association", "head_id": "H", "tail_id": "T",
+    }]
+    golds = [{
+        "rel_id": "R1", "head_id": "H2", "tail_id": "T2",
+        "rel_type": "Association",
+        "head_mentions": ["gamma"], "tail_mentions": ["delta"],
+    }]
+    base = run_strategy("sbert", preds, golds, True)
+    assert not any(d["kind"] == "tp" for d in base)  # hash-embed: no match
+
+    everything_matches = make_embedding_kernel(lambda t: [1.0, 0.0])
+    injected = run_strategy(
+        "sbert", preds, golds, True, kernels={"sbert": everything_matches}
+    )
+    assert any(d["kind"] in ("tp", "semantic") for d in injected)
+
+    pred_df = spark.createDataFrame(
+        [("u1", "IO", "m", 0, "alpha", "beta", "Association", "H", "T")],
+        "url string, technique string, model string, pred_index int,"
+        " head_mention string, tail_mention string, relation_type string,"
+        " head_id string, tail_id string",
+    )
+    bundle = spark.createDataFrame(
+        [("u1", "R1", "H2", "T2", "Association", ["gamma"], ["delta"])],
+        "url string, rel_id string, head_id string, tail_id string,"
+        " rel_type string, head_mentions array<string>,"
+        " tail_mentions array<string>",
+    )
+    kw = dict(strategies=["sbert"], with_types_variants=(True,),
+              combos=[("IO", "m")])
+    plain = evaluate_counts_df(pred_df, bundle, **kw).collect()[0]
+    swapped = evaluate_counts_df(
+        pred_df, bundle, kernels={"sbert": everything_matches}, **kw
+    ).collect()[0]
+    assert plain["tp"] + plain["n_semantic"] == 0
+    assert swapped["tp"] + swapped["n_semantic"] >= 1

@@ -226,3 +226,26 @@ def test_content_edit_invalidates_catalog_and_resolution(spark, sf_dir, tmp_path
     assert any(
         v == run1 for (s, k), v in latest.items() if s == "counts" and k != b0
     ), "unchanged counts buckets must skip recompute"
+
+
+def test_partition_dir_matches_spark_escaping(spark, tmp_path):
+    """_drop_partitions must derive EXACTLY the directory names Spark writes
+    for hostile partition keys, or stale partitions survive a resume.  Keys
+    cover Hive's charToEscape set ('}' is NOT escaped; DEL 0x7F is)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.plans.lineage import _partition_dir
+
+    keys = [
+        "plain", "with space", "a{b", "a}b", "a[b]c", "a^b", "a:b", "a=b",
+        "a/b", "a\\b", "a#b", "a%b", "a*b", "a?b", "a'b", 'a"b',
+        "a\x7fb", "a\tb", "a!b",
+    ]
+    out = str(tmp_path / "esc")
+    df = spark.createDataFrame([(k, 1) for k in keys], "k string, v int")
+    df.repartition(1).write.mode("overwrite").partitionBy("k").parquet(out)
+    on_disk = {d for d in os.listdir(out) if d.startswith("k=")}
+    derived = {os.path.basename(_partition_dir(out, "k", k)) for k in keys}
+    assert derived == on_disk

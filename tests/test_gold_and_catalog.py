@@ -203,6 +203,48 @@ def test_full_catalog_hot_entity_skew(spark):
     assert len(hot["exact_forms"]) == 60
     # first20 = the 50 mentions of the lexicographically-first url, pos 0..19
     assert hot["first20"] == [f"form{j % 60}" for j in range(20)]
-    assert hot["created_ord"].startswith("https://h/0000#")
+    assert hot["created_ord"].startswith("https://h/0000\x01")
     assert cat["COLD"]["canonical_name"] == "rare"
     assert cat["COLD"]["document_count"] == 1
+
+
+def test_full_catalog_order_key_adversarial_urls(spark):
+    """Prefix urls and urls with chars sorting below '#' ('!', ' ') must not
+    flip first-seen tie-breaks: full_catalog's string order key (\\x01
+    separator) must agree with entity_catalog's struct(url, pos) ordering."""
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        entity_catalog,
+        full_catalog,
+    )
+
+    def doc(url, eid, etype, forms):
+        return (
+            url, eid, etype,
+            [{"text": t, "passage_index": 0, "passage_offset": 0,
+              "char_offset": i, "length": len(t)} for i, t in enumerate(forms)],
+        )
+
+    schema = (
+        "url string, entity_id string, entity_type string, mentions "
+        "array<struct<text:string,passage_index:int,passage_offset:int,"
+        "char_offset:int,length:int>>"
+    )
+    rows = [
+        # "a" is a prefix of "a!": struct order says url "a" comes first, so
+        # the canonical tie-break (both forms appear once) must pick "early"
+        doc("a!", "E1", "TypeLate", ["late"]),
+        doc("a", "E1", "TypeEarly", ["early"]),
+        # ' ' (0x20) also sorts below '#' (0x23)
+        doc("b c", "E2", "T", ["first"]),
+        doc("b#z", "E2", "T", ["second"]),
+    ]
+    ents = spark.createDataFrame(rows, schema)
+    fused = {r["entity_id"]: r for r in full_catalog(ents).collect()}
+    plain = {r["entity_id"]: r for r in entity_catalog(ents).collect()}
+    for eid in ("E1", "E2"):
+        assert fused[eid]["canonical_name"] == plain[eid]["canonical_name"], eid
+        assert fused[eid]["entity_type"] == plain[eid]["entity_type"], eid
+        assert fused[eid]["common_mentions"] == plain[eid]["common_mentions"], eid
+    assert fused["E1"]["canonical_name"] == "early"
+    assert fused["E1"]["entity_type"] == "TypeEarly"
+    assert fused["E2"]["canonical_name"] == "first"

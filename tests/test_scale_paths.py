@@ -237,3 +237,72 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     }
     want = {(q, v) for q, vs in exact.items() for v in vs}
     assert full == want
+
+
+def test_ivf_probe_order_matches_assignment_metric(spark, sf_dir):
+    """A query identical to a corpus vector must find itself at n_probe=1:
+    probe ranking (q.c - ||c||^2/2, euclidean-consistent) must agree with
+    KMeans' euclidean ASSIGNMENT of that vector, or the query's own cluster
+    can be skipped (dot-product ranking diverges for non-unit centroids)."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(emb, queries, k=1, n_lists=8, n_probe=1, seed=7).collect()
+    assert len(got) == 16
+    for r in got:
+        assert r["query_id"] == r["vec_id"], r
+        assert r["cosine"] > 0.999999
+
+
+def test_zero_norm_embeddings_excluded_not_null(spark):
+    """Zero-norm embeddings must be dropped before L2 normalization in every
+    LSH path (x / NULL would poison the feature arrays), never crash."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]), (4, [0.9, 0.1, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.9, method="lsh").collect()
+    ids = {(r["vec_a"], r["vec_b"]) for r in pairs}
+    assert (0, 2) in ids
+    assert all(1 not in p for p in ids)
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    lsh = lsh_topk(emb, q, k=3).collect()
+    assert all(r["vec_id"] != 1 and r["query_id"] != 1 for r in lsh)
+    assert all(r["cosine"] is not None for r in lsh)
+    ivf = ivf_topk(emb, q, k=3, n_lists=2, n_probe=2).collect()
+    assert all(r["vec_id"] != 1 and r["query_id"] != 1 for r in ivf)
+
+
+def test_embedding_auto_routing_warns_on_lsh(spark):
+    """auto -> LSH silently reduces recall; the switch must warn."""
+    import warnings
+
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.range(40).selectExpr(
+        "id AS vec_id", "array(cast(id AS double), 1.0) AS embedding"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        embedding_near_dup_pairs(emb, threshold=0.99, max_exact_rows=10)
+        assert any("auto-routing" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        embedding_near_dup_pairs(emb, threshold=0.99, max_exact_rows=100)
+        assert not any("auto-routing" in str(w.message) for w in rec)
