@@ -776,6 +776,215 @@ def q_match_details(spark, sf_dir):
     )
 
 
+def _triples_snapshot(spark, sf_dir) -> str:
+    """Canonicalized final triples — INPUT of the graph-sink summary."""
+    from relation_extraction_using_llms_spark.operators.canonicalize import (
+        canonical_mapping,
+        materialize_triples,
+    )
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        full_catalog,
+    )
+
+    resolved = spark.read.parquet(_stage_snapshots(spark, sf_dir)["resolved"])
+    ents = spark.read.parquet(_ents_input_snapshot(spark, sf_dir))
+    cmap = canonical_mapping(full_catalog(ents))
+    return _snapshot(
+        materialize_triples(resolved, cmap).select(
+            "subj", "pred", "obj", "url", "technique", "model"
+        ),
+        "triples",
+        sf_dir,
+    )
+
+
+def q_graph_predicate_summary(spark, sf_dir):
+    """Graph-table sink summary (plans/reports.py:write_graph_tables): the
+    per-predicate edge statistics written next to the bucket-partitioned
+    edges; the oracle re-aggregates from the triples snapshot."""
+    from relation_extraction_using_llms_spark.plans.reports import (
+        predicate_summary,
+    )
+
+    return predicate_summary(spark.read.parquet(_triples_snapshot(spark, sf_dir)))
+
+
+def _mention_occurrences_snapshot(spark, sf_dir) -> str:
+    """(entity_id, text) mention occurrences — INPUT of the incremental
+    catalog stream AND of its DuckDB re-derivation."""
+    ents = spark.read.parquet(_ents_input_snapshot(spark, sf_dir))
+    occ = ents.select(
+        "entity_id", F.explode("mentions").alias("m")
+    ).select("entity_id", F.col("m.text").alias("text"))
+    return _snapshot(occ, "mention_occurrences", sf_dir)
+
+
+_INC_CATALOG_MEMO: dict = {}
+
+
+def q_incremental_catalog(spark, sf_dir):
+    """Custom stateful streaming operator (streaming/ingest.py:
+    incremental_catalog_updates, applyInPandasWithState): stream the
+    mention occurrences through the bounded-state catalog maintainer
+    (AvailableNow + foreachBatch parquet sink — a memory sink cannot
+    recover a checkpoint) and return the FINAL per-entity state.  The
+    cumulative counts are batching-invariant, so the DuckDB oracle can
+    re-derive the same totals/top-form directly from the occurrences
+    snapshot — a hard batch-twin check on the streaming state logic."""
+    from relation_extraction_using_llms_spark.streaming.ingest import (
+        incremental_catalog_updates,
+    )
+
+    occ_path = _mention_occurrences_snapshot(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    out_path = _INC_CATALOG_MEMO.get(key)
+    if out_path is None:
+        import shutil
+
+        out_path = f"{_SNAP_ROOT}/{_snap_tag(sf_dir)}/inc_catalog_updates"
+        ckpt = f"{out_path}_ckpt"
+        # fresh run per process: a stale checkpoint would treat this
+        # process's re-written snapshot files as NEW input and fold them
+        # into the persisted state, doubling the cumulative counts
+        shutil.rmtree(out_path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = (
+            spark.readStream.schema("entity_id string, text string")
+            .parquet(occ_path)
+        )
+        updates = incremental_catalog_updates(stream, max_forms=64)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_path)
+
+        (
+            updates.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        _INC_CATALOG_MEMO[key] = out_path
+    upd = spark.read.parquet(out_path)
+    # final state per entity: cumulative mention_count strictly increases
+    # across a given entity's update rows, so max_by is the last update
+    final_struct = F.max_by(
+        F.struct("n_forms_tracked", "canonical_guess"), "mention_count"
+    )
+    return upd.groupBy("entity_id").agg(
+        F.max("mention_count").alias("mention_count"),
+        final_struct.getField("n_forms_tracked").alias("n_forms_tracked"),
+        final_struct.getField("canonical_guess").alias("canonical_guess"),
+    )
+
+
+def _recall_df(exact_df, approx_df, keys, group_key):
+    """Per-group recall of ``exact_df`` rows found in ``approx_df``."""
+    hit = (
+        exact_df.join(approx_df, keys, "left_semi")
+        .groupBy(group_key)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    tot = exact_df.groupBy(group_key).agg(F.count(F.lit(1)).alias("n_exact"))
+    return tot.join(hit, group_key, "left").select(
+        group_key,
+        "n_exact",
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        F.round(
+            F.coalesce("n_matched", F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
+def _ann_recall_snapshots(spark, sf_dir) -> dict:
+    """Exact + approximate top-k tables for the recall derivations.  The
+    approx outputs are themselves INPUTS here: the operator under test is
+    the recall computation, and both engines read the SAME snapshot bytes
+    (so even KMeans nondeterminism across processes cannot split them)."""
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cols = ["query_id", "vec_id"]
+    return {
+        "bf": _snapshot(
+            brute_force_topk(emb, queries, k=10).select(*cols), "ann_bf_out", sf_dir
+        ),
+        "lsh": _snapshot(
+            lsh_topk(emb, queries, k=10).select(*cols), "ann_lsh_out", sf_dir
+        ),
+        "ivf": _snapshot(
+            ivf_topk(emb, queries, k=10).select(*cols), "ann_ivf_out", sf_dir
+        ),
+    }
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Derived check for the approximate LSH path: per-query recall vs the
+    exact top-k, computed by Spark and re-derived by DuckDB over identical
+    snapshots — the containment oracle the raw approximate output can't
+    have."""
+    snaps = _ann_recall_snapshots(spark, sf_dir)
+    return _recall_df(
+        spark.read.parquet(snaps["bf"]),
+        spark.read.parquet(snaps["lsh"]),
+        ["query_id", "vec_id"],
+        "query_id",
+    )
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    snaps = _ann_recall_snapshots(spark, sf_dir)
+    return _recall_df(
+        spark.read.parquet(snaps["bf"]),
+        spark.read.parquet(snaps["ivf"]),
+        ["query_id", "vec_id"],
+        "query_id",
+    )
+
+
+def q_dedup_minhash_recall(spark, sf_dir):
+    """Derived check for MinHash-LSH dedup: fraction of exact n-gram-Jaccard
+    pairs (>= 0.5) present in the banded candidate pairs, one global row;
+    oracle re-derives the semi-join/ratio over the same snapshots."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    exact_p = _snapshot(
+        ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b"),
+        "dedup_exact_pairs",
+        sf_dir,
+    )
+    cand_p = _snapshot(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5).select("doc_a", "doc_b"),
+        "dedup_minhash_out",
+        sf_dir,
+    )
+    exact = spark.read.parquet(exact_p)
+    cand = spark.read.parquet(cand_p)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_matched = exact.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return n_exact.crossJoin(n_matched).select(
+        "n_exact",
+        "n_matched",
+        F.round(
+            F.col("n_matched") / F.greatest(F.col("n_exact"), F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Feature plumbing check: the first feature component re-scaled to its
     source uint16 (exact across float32 transport) so the DuckDB twin can
@@ -859,6 +1068,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
+        # graph sink + streaming-state twin + approximate-path recall checks
+        "graph_predicate_summary": q_graph_predicate_summary,
+        "incremental_catalog": q_incremental_catalog,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        "dedup_minhash_recall": q_dedup_minhash_recall,
     }
 
 
@@ -1321,6 +1536,66 @@ def _snapshot_oracles() -> dict[str, str]:
                           THEN 2 * precision * recall / (precision + recall)
                           ELSE 0.0 END, 9) AS f1_score
         FROM f
+    """
+
+    out["graph_predicate_summary"] = f"""
+        SELECT pred, count(*) AS n_edges,
+               count(DISTINCT subj) AS n_subjects,
+               count(DISTINCT obj) AS n_objects
+        FROM {snap('triples')} GROUP BY 1
+    """
+
+    # batch twin of the applyInPandasWithState catalog maintainer: the
+    # final streaming state per entity is batching-invariant (cumulative
+    # counts; bounded top-form table ranked by count desc, form asc)
+    out["incremental_catalog"] = f"""
+        WITH c AS (
+          SELECT entity_id, text, count(*) AS n
+          FROM {snap('mention_occurrences')}
+          WHERE text IS NOT NULL GROUP BY 1, 2
+        ), r AS (
+          SELECT entity_id, text, n,
+                 row_number() OVER (PARTITION BY entity_id
+                                    ORDER BY n DESC, text ASC) AS rk,
+                 count(*) OVER (PARTITION BY entity_id) AS nf,
+                 sum(n) OVER (PARTITION BY entity_id) AS total
+          FROM c
+        )
+        SELECT entity_id,
+               CAST(total AS BIGINT) AS mention_count,
+               CAST(least(nf, 64) AS INT) AS n_forms_tracked,
+               text AS canonical_guess
+        FROM r WHERE rk = 1
+    """
+
+    def recall_sql(exact_snap: str, approx_snap: str) -> str:
+        return f"""
+            WITH e AS (SELECT DISTINCT query_id, vec_id FROM {snap(exact_snap)}),
+            a AS (SELECT DISTINCT query_id, vec_id FROM {snap(approx_snap)}),
+            hit AS (
+              SELECT e.query_id, count(*) AS n_matched
+              FROM e JOIN a USING (query_id, vec_id) GROUP BY 1
+            ), tot AS (
+              SELECT query_id, count(*) AS n_exact FROM e GROUP BY 1
+            )
+            SELECT t.query_id, t.n_exact,
+                   coalesce(h.n_matched, 0) AS n_matched,
+                   round(coalesce(h.n_matched, 0) * 1.0 / t.n_exact, 6)
+                     AS recall
+            FROM tot t LEFT JOIN hit h ON h.query_id = t.query_id
+        """
+
+    out["ann_lsh_recall"] = recall_sql("ann_bf_out", "ann_lsh_out")
+    out["ann_ivf_recall"] = recall_sql("ann_bf_out", "ann_ivf_out")
+
+    out["dedup_minhash_recall"] = f"""
+        WITH e AS (SELECT DISTINCT doc_a, doc_b FROM {snap('dedup_exact_pairs')}),
+        a AS (SELECT DISTINCT doc_a, doc_b FROM {snap('dedup_minhash_out')}),
+        m AS (SELECT count(*) AS n_matched FROM e JOIN a USING (doc_a, doc_b)),
+        t AS (SELECT count(*) AS n_exact FROM e)
+        SELECT t.n_exact, CAST(m.n_matched AS BIGINT) AS n_matched,
+               round(m.n_matched * 1.0 / greatest(t.n_exact, 1), 6) AS recall
+        FROM t, m
     """
     return out
 

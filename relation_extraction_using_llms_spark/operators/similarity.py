@@ -220,6 +220,64 @@ def ivf_topk(
     )
 
 
+def rag_context_ann(
+    clean_text: DataFrame,
+    snippets: DataFrame,
+    k: int = 3,
+    max_query_chars: int = 1000,
+    embedder=None,
+    candidate_distance: float = 1.4,
+    num_hash_tables: int = 10,
+) -> DataFrame:
+    """(url, context) for the RAG prompter through the SAME ANN machinery
+    the engine ships (north_star RAG path): embed snippets and truncated
+    document queries via the embedding store's ``embed_df`` (pluggable
+    ``embedder`` — the served model drops in exactly like
+    ``make_embedding_kernel``), block candidates with ``lsh_topk``, then
+    assemble rank-ordered contexts.  Unlike the token-overlap
+    ``rag_context`` (a broadcastable crossJoin fine for small indexes),
+    this scales to an arbitrarily large retrieval index: cost is the LSH
+    bucket join, never |docs| x |index|."""
+    from ..sources.embedding_store import embed_df
+
+    q_emb = embed_df(
+        clean_text.select(
+            F.col("url").alias("doc_key"),
+            F.substring("text", 1, max_query_chars).alias("text"),
+        ),
+        embedder,
+    ).select(F.col("doc_key").alias("query_id"), "embedding")
+    s = snippets.select(
+        F.col("doc_id").alias("snippet_id"), F.col("text").alias("snippet")
+    )
+    s_emb = embed_df(
+        s.select(F.col("snippet_id").alias("doc_key"), F.col("snippet").alias("text")),
+        embedder,
+    ).select(F.col("doc_key").alias("vec_id"), "embedding")
+    top = lsh_topk(
+        s_emb,
+        q_emb,
+        k=k,
+        id_col="vec_id",
+        query_id_col="query_id",
+        candidate_distance=candidate_distance,
+        num_hash_tables=num_hash_tables,
+    )
+    return (
+        top.join(s, top.vec_id == s.snippet_id)
+        .groupBy(F.col("query_id").alias("url"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "snippet"))),
+                    lambda s_: s_["snippet"],
+                ),
+                "\n---\n",
+            ).alias("context")
+        )
+    )
+
+
 def rag_context(
     clean_text: DataFrame,
     snippets: DataFrame,

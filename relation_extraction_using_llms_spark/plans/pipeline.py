@@ -41,6 +41,10 @@ class PipelineConfig:
     # corpus itself (hash-ordered top-N — broadcastable at any corpus size)
     rag_k: int = 3
     rag_index_size: int = 64
+    # "token": broadcast token-overlap retriever (small indexes);
+    # "ann": embed queries+snippets (pluggable embedder) and retrieve via
+    # the shipped lsh_topk — the index-size-independent scale path
+    rag_retrieval: str = "token"
 
 
 def rag_snippet_index(clean: DataFrame, n: int = 64, snippet_chars: int = 300) -> DataFrame:
@@ -78,9 +82,10 @@ def run_pipeline(
     # snippets join in as context for RAG rows only
     context_df = None
     if "RAG" in cfg.techniques:
-        from ..operators.similarity import rag_context
+        from ..operators.similarity import rag_context, rag_context_ann
 
-        context_df = rag_context(
+        retriever = rag_context_ann if cfg.rag_retrieval == "ann" else rag_context
+        context_df = retriever(
             clean.select("url", "text"),
             rag_snippet_index(clean, cfg.rag_index_size),
             k=cfg.rag_k,

@@ -51,6 +51,19 @@ def write_run_artifacts(
     return out
 
 
+def predicate_summary(triples_df: DataFrame) -> DataFrame:
+    """Per-predicate edge statistics of the final graph — the summary table
+    ``write_graph_tables`` materializes next to the edges.  Plain two-level
+    aggregate (map-side combinable count + distincts)."""
+    from pyspark.sql import functions as F
+
+    return triples_df.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+    )
+
+
 def write_graph_tables(
     triples_df: DataFrame, path: str, fmt: str = "parquet"
 ) -> dict[str, str]:
@@ -59,20 +72,12 @@ def write_graph_tables(
     prune to one bucket, plus a per-predicate edge-count summary.  At a
     warehouse this write targets an Iceberg table bucketed by subj; the
     layout contract (bucket column = pmod(hash(subj), n)) is identical."""
-    from pyspark.sql import functions as F
-
     edges_path = f"{path}/edges"
     getattr(
         triples_df.write.mode("overwrite").partitionBy("subj_bucket"), fmt
     )(edges_path)
     summary_path = f"{path}/predicate_summary"
-    summary = (
-        triples_df.groupBy("pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_edges"),
-            F.countDistinct("subj").alias("n_subjects"),
-            F.countDistinct("obj").alias("n_objects"),
-        )
+    getattr(predicate_summary(triples_df).write.mode("overwrite"), fmt)(
+        summary_path
     )
-    getattr(summary.write.mode("overwrite"), fmt)(summary_path)
     return {"edges": edges_path, "predicate_summary": summary_path}

@@ -79,11 +79,11 @@ def events_sessions_native(events: DataFrame, gap: str = "30 minutes") -> DataFr
     event counts — the built-in twin of the window-function formulation in
     __spark_entry__.q_events_sessions.
 
-    Boundary note: ``session_window`` closes a session when the next event
-    lands >= gap after the previous one, while the lag-based formulation
-    starts a new session strictly beyond the gap; with sub-second event
-    timestamps the exact-boundary case is measure-zero (asserted equal on
-    the shipped corpus).
+    Boundary note: ``session_window`` merges an event landing EXACTLY at
+    lastEvent + gap (closed interval — pinned by a crafted fixture in
+    tests/test_streaming_and_resume.py), matching the lag formulation's
+    strictly-greater split; the two agree at every gap, including the
+    boundary, so they safely share one oracle.
     """
     sess = events.withColumn("ts", F.col("ts").cast("timestamp")).groupBy(
         F.session_window("ts", gap).alias("w"), "user_id"

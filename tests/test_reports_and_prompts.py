@@ -120,3 +120,61 @@ def test_rag_pipeline_retrieves_context(spark, sf_dir):
     io = stages["prompts"].where(F.col("technique") == "IO").limit(5).collect()
     assert io and all(not p["prompt"].startswith("Retrieved context:") for p in io)
     assert stages["eval_aggregate"].count() == 2  # one row per technique
+
+
+def test_rag_context_ann_retrieves_via_lsh(spark, sf_dir):
+    """The ANN RAG path (embed -> lsh_topk -> assemble) returns one ordered
+    context per url; a document whose text IS a snippet must retrieve that
+    snippet first (self-similarity = 1 through the hashed embedder)."""
+    from relation_extraction_using_llms_spark.functions.extraction import (
+        clean_text_df,
+    )
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        rag_context_ann,
+    )
+    from relation_extraction_using_llms_spark.plans.pipeline import (
+        rag_snippet_index,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    clean = clean_text_df(pages_df(spark, sf_dir)).select("url", "text").limit(40)
+    snippets = rag_snippet_index(clean, 16)
+    ctx = rag_context_ann(clean, snippets, k=3)
+    rows = ctx.collect()
+    assert 0 < len(rows) <= 40
+    assert all(r["context"] for r in rows)
+    # a query identical to an indexed snippet retrieves it at rank 1
+    snip = snippets.collect()[0]
+    probe = spark.createDataFrame(
+        [(str(snip["doc_id"]), snip["text"])], "url string, text string"
+    )
+    got = rag_context_ann(probe, snippets, k=1).collect()
+    assert len(got) == 1
+    assert got[0]["context"] == snip["text"]
+
+
+def test_rag_pipeline_ann_retrieval_mode(spark, sf_dir):
+    """rag_retrieval='ann' swaps the retriever inside the pipeline and RAG
+    prompts still carry retrieved context."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from relation_extraction_using_llms_spark.sources.stub_model import (
+        make_stub_model,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    cfg = PipelineConfig(
+        techniques=["RAG"], models=["stub-large"], strategies=["exact"],
+        with_types_variants=(True,), rag_retrieval="ann", rag_index_size=16,
+    )
+    pages = pages_df(spark, sf_dir).limit(30)
+    stages = run_pipeline(spark, pages, cfg, model_fn=make_stub_model(sf_dir))
+    prompts = stages["prompts"].where(F.col("technique") == "RAG")
+    n_with_ctx = prompts.where(
+        F.col("prompt").contains("Retrieved context")
+    ).count()
+    assert n_with_ctx > 0

@@ -204,3 +204,55 @@ def test_incremental_catalog_state_accumulates_across_drains(spark, tmp_path):
     assert got2["E1"]["mention_count"] == 6  # 3 + 3, state carried over
     assert got2["E1"]["canonical_guess"] == "beta"
     assert got2["E1"]["n_forms_tracked"] == 2  # bounded
+
+
+def test_session_boundary_exact_gap_agreement(spark):
+    """Pins the exact-boundary semantics with a crafted fixture: at a gap
+    of EXACTLY 30 minutes session_window still MERGES (its interval is
+    closed at lastEvent + gap) and the lag formulation (strictly greater)
+    also keeps one session — the two formulations agree even at the
+    measure-zero boundary, so they can safely share one oracle no matter
+    what timestamp precision the data has.  Just past the gap both
+    split."""
+    from datetime import datetime, timedelta
+
+    from relation_extraction_using_llms_spark.streaming.ingest import (
+        events_sessions_native,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("u", t0, 1, "view", 0.0),
+        ("u", t0 + timedelta(seconds=1800), 2, "view", 0.0),  # exact gap
+        ("u", t0 + timedelta(seconds=1800 + 10), 3, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long,"
+        " event_type string, value double"
+    )
+    native = events_sessions_native(ev).collect()[0]
+    assert native["n_sessions"] == 1  # merged AT the exact gap
+
+    past = spark.createDataFrame(
+        [rows[0], (rows[1][0], rows[1][1] + timedelta(seconds=1), 2, "view", 0.0)],
+        ev.schema,
+    )
+    assert events_sessions_native(past).collect()[0]["n_sessions"] == 2
+
+    import __spark_entry__ as entry_mod
+    import pyspark.sql.functions as F  # noqa: F401
+
+    # lag formulation over the same rows (inline, same expression as
+    # q_events_sessions): strictly-greater keeps the exact-gap event inside
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    gapped = ev.select(
+        "user_id",
+        F.when((epoch - F.lag(epoch).over(w)) > 1800, 1).otherwise(0).alias("ns"),
+    )
+    n_sessions = gapped.groupBy("user_id").agg(
+        (F.sum("ns") + 1).alias("n")
+    ).collect()[0]["n"]
+    assert n_sessions == 1
