@@ -58,7 +58,7 @@ def materialize_corpus(spark, sf_dir: str, scaling: bool = False) -> str:
 
     replicas = SCALING_REPLICAS if scaling else 1
     out = corpus_dir(sf_dir, replicas)
-    marker = f"{out}/_DONE_v3"
+    marker = f"{out}/_DONE"
     # 64-way layout: parquet row groups only split at file boundaries for
     # small files, so a deterministic multi-file layout keeps every level's
     # scans parallel (mirrors a real many-file table).
@@ -77,18 +77,19 @@ def materialize_corpus(spark, sf_dir: str, scaling: bool = False) -> str:
         stub_responses_df(spark, sf_dir, techniques, models, replicas=replicas).repartition(
             64
         ).write.mode("overwrite").parquet(f"{out}/responses")
-        if scaling:
-            # replicated (vocabulary-salted) documents: the dedup stage must
-            # be measured on the level-scaled input, or its wall time is a
-            # fixed-size job that can never show core scaling
-            from relation_extraction_using_llms_spark.sources.synthetic import (
-                _documents,
-            )
-
-            _documents(spark, sf_dir, replicas).repartition(64).write.mode(
-                "overwrite"
-            ).parquet(f"{out}/documents")
         open(marker, "w").close()
+    if scaling and not os.path.exists(f"{out}/documents/_SUCCESS"):
+        # replicated (vocabulary-salted) documents: the dedup stage must be
+        # measured on the level-scaled input, or its wall time is a
+        # fixed-size job that can never show core scaling (own marker so an
+        # already-built corpus is not regenerated just to add this table)
+        from relation_extraction_using_llms_spark.sources.synthetic import (
+            _documents,
+        )
+
+        _documents(spark, sf_dir, replicas).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/documents")
     return out
 
 
