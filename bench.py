@@ -230,6 +230,11 @@ def warm_workers(spark, corpus: str) -> None:
         resolve_in_document,
     )
 
+    from pyspark.sql import functions as F
+
+    from relation_extraction_using_llms_spark.operators.dedup import minhash_lsh_pairs
+    from relation_extraction_using_llms_spark.operators.similarity import lsh_topk
+
     pages = spark.read.parquet(f"{corpus}/pages").limit(64).repartition(64)
     clean = clean_text_df(pages)
     responses = spark.read.parquet(f"{corpus}/responses").limit(64).repartition(64)
@@ -239,6 +244,15 @@ def warm_workers(spark, corpus: str) -> None:
         triples,
         membership_df=ents.select("url", "entity_id"),
         catalog_df=full_catalog(ents),
+    ).count()
+    # ML-backed stages pay one-time JVM class-loading + codegen on first
+    # use (BucketedRandomProjectionLSH / MinHashLSH); warm them on 64-row
+    # slices for the same reason the Python workers are warmed above
+    emb64 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
+    q8 = emb64.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    lsh_topk(emb64, q8, k=3).count()
+    minhash_lsh_pairs(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64)
     ).count()
 
 
