@@ -97,12 +97,26 @@ def fingerprint(documents: DataFrame, n: int = 5) -> DataFrame:
     """Min-hash style document fingerprint: minimum md5 over word
     ``n``-gram shingles (a deterministic 1-perm minhash; two docs share a
     fingerprint iff their rarest-hashing shingle coincides — the standard
-    cheap near-dup blocking key)."""
-    toks = _tokens()
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return documents.select(
-        "doc_id",
-        F.array_min(F.transform(shingles, F.md5)).alias("fingerprint"),
-        F.size(shingles).alias("n_shingles"),
+    cheap near-dup blocking key).
+
+    Tokens and the shingle array are let-bound (``bind_once``): HOF
+    lambdas are interpreted without CSE, so unbound references would
+    re-tokenize once per shingle (see functions/hofs.py)."""
+    from .hofs import bind_once
+
+    def sh_of(t):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+        )
+
+    result = bind_once(
+        bind_once(_tokens(), sh_of),
+        lambda sh: F.struct(
+            F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+            F.size(sh).alias("n_shingles"),
+        ),
+    )
+    return documents.select("doc_id", result.alias("_r")).select(
+        "doc_id", "_r.fingerprint", "_r.n_shingles"
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hofs import bind_once as _let
+
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_docs, canonical_doc_id).
@@ -54,9 +56,34 @@ def prefix_duplicates(documents: DataFrame, n_tokens: int = 8) -> DataFrame:
 def _shingles(n: int):
     """Word n-gram shingle array from text (distinct)."""
     tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " "))
+    return _let(
+        tokens,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            )
+        ),
+    )
+
+
+def _shingle_hashes(n: int):
+    """64-bit hashes of word n-gram shingles, built straight from the
+    token array (no n-gram string construction): one xxhash64 over the
+    n member tokens per shingle.  The minhash space is defined by this
+    hash, so skipping the join-to-string is free fidelity-wise (and,
+    unlike string joining, token boundaries stay distinguishable)."""
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return _let(
+        tokens,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+                lambda i: F.xxhash64(
+                    *[F.element_at(t, i + k + 1) for k in range(n)]
+                ),
+            )
+        ),
     )
 
 
@@ -114,41 +141,100 @@ def ngram_jaccard_pairs(
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
-    num_hash_tables: int = 8,
+    num_hashes: int = 8,
     jaccard_threshold: float = 0.5,
-    num_features: int = 1 << 20,
+    max_docs_per_bucket: int | None = None,
+    num_hash_tables: int | None = None,
 ) -> DataFrame:
-    """Approximate duplicate pairs via MinHash banding
-    (shingle -> feature-hash -> minhash -> band -> bucket join -> re-check).
-    The scale path for the same question ``ngram_jaccard_pairs`` answers
-    exactly: candidate generation is O(docs x bands), never all-pairs.
+    """Approximate duplicate pairs via native banded MinHash
+    (shingle -> xxhash64 -> per-band min-hash signature -> band equi-join
+    -> exact Jaccard on the hashed shingle sets).  The scale path for the
+    same question ``ngram_jaccard_pairs`` answers exactly: candidate
+    generation is O(docs x bands), never all-pairs.
 
-    Shingles are FEATURE-HASHED (``HashingTF``, stateless) rather than
-    vocabulary-encoded: ``CountVectorizer.fit`` builds a driver-side term
-    dictionary — billions of distinct word-3-grams at 10^12 docs — while
-    hashing needs no fit, no driver state, and no extra data pass.  Hash
-    collisions perturb the Jaccard estimate by ~|shingles|/num_features,
-    negligible at 2^20 features; the exact threshold check downstream (or
-    ``ngram_jaccard_pairs`` on candidates) removes false positives."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    Everything is whole-stage-codegen DataFrame expressions — no MLlib
+    estimator, no fit, no driver state, no per-pair JVM UDF:
 
-    sh = documents.select("doc_id", _shingles(n).alias("sh")).where(F.size("sh") > 0)
-    vec = HashingTF(
-        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
-    ).transform(sh)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=13
-    ).fit(vec)
-    pairs = lsh.approxSimilarityJoin(
-        vec, vec, 1.0 - jaccard_threshold, distCol="jdist"
-    )
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            (1.0 - F.col("jdist")).alias("jaccard_est"),
+      * signature[i] = min over shingle-hashes h of xxhash64(h, i) — the
+        classic k independent min-hash permutations, seeded by the band
+        index, computed by nested higher-order functions
+      * candidates = docs agreeing on ANY of the ``num_hashes`` bands
+        (r=1 banding — the same OR-amplified recall curve as Spark ML's
+        ``MinHashLSH(numHashTables=k)``: P(miss) = (1-j)^k)
+      * verification = EXACT Jaccard via ``array_intersect`` over the
+        64-bit-hashed shingle sets (collision odds ~|shingles|^2 / 2^64,
+        negligible — tighter than a 2^20 feature space)
+
+    ``max_docs_per_bucket`` (optional) drops band buckets larger than the
+    cap — the skew guard for web-scale corpora where a boilerplate
+    signature could bucket millions of docs (collapse byte-identical
+    texts with ``exact_duplicates`` FIRST; a capped bucket only loses
+    pairs whose every shared band is boilerplate-hot, mirroring the
+    ``ngram_jaccard_pairs`` stop-phrase guard).  ``num_hash_tables`` is a
+    back-compat alias for ``num_hashes``."""
+    if num_hash_tables is not None:
+        num_hashes = num_hash_tables
+    hashed = documents.select(
+        "doc_id", _shingle_hashes(n).alias("hs")
+    ).where(F.size("hs") > 0)
+    # band index explodes FIRST, one min-hash per (doc, band) row.  The
+    # alternative — build all k signatures in one nested higher-order
+    # expression, then posexplode — is a trap: HOFs run interpreted (no
+    # codegen, no common-subexpression elimination), and CollapseProject
+    # inlines the whole shingle pipeline into every band lambda AND both
+    # self-join sides (measured 131s vs ~7s on 5k docs).  A Generate is a
+    # projection-collapse barrier, so here ``hs`` is computed once per doc
+    # and each band row evaluates a single flat transform.
+    banded = (
+        hashed.select(
+            "doc_id",
+            "hs",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("band"),
         )
+        .select(
+            "doc_id",
+            "band",
+            F.array_min(
+                F.transform("hs", lambda h: F.xxhash64(h, F.col("band")))
+            ).alias("bsig"),
+        )
+    )
+    if max_docs_per_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_docs_per_bucket)
+            .select("band", "bsig")
+        )
+        banded = banded.join(hot, ["band", "bsig"], "left_anti")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # shingle-hash sets join back at PAIR grain (two equi-joins) instead of
+    # riding the banded explode — candidate rows are few, so the fat arrays
+    # cross the shuffle twice total, not once per band
+    with_sets = cand.join(
+        hashed.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")),
+        "doc_a",
+    ).join(
+        hashed.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    return (
+        with_sets.select(
+            "doc_a",
+            "doc_b",
+            (inter / union).alias("jaccard_est"),
+        )
+        .where(F.col("jaccard_est") >= jaccard_threshold)
     )
 
 

@@ -676,13 +676,20 @@ def resolve_global_lsh(
     ).where(F.length("name") > 0)
 
     def with_features(df, text_col):
-        # char 3-gram shingles as a pure column expression (JVM-side)
-        t = shingle_col(F.col(text_col))
-        shingles = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
-                lambda i: t.substr(i, F.lit(3)),
-            )
+        # char 3-gram shingles as a pure column expression (JVM-side).
+        # The normalized text is let-bound so the regexp_replace runs once
+        # per row, not once per shingle (interpreted HOFs have no CSE —
+        # see functions/hofs.py)
+        from ..functions.hofs import bind_once
+
+        shingles = bind_once(
+            shingle_col(F.col(text_col)),
+            lambda t: F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
+                    lambda i: t.substr(i, F.lit(3)),
+                )
+            ),
         )
         out = df.withColumn("__shingles", F.filter(shingles, lambda s: F.length(s) > 0))
         return out.where(F.size("__shingles") > 0)

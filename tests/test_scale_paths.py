@@ -306,3 +306,30 @@ def test_embedding_auto_routing_warns_on_lsh(spark):
         warnings.simplefilter("always")
         embedding_near_dup_pairs(emb, threshold=0.99, max_exact_rows=100)
         assert not any("auto-routing" in str(w.message) for w in rec)
+
+
+def test_bind_once_identity_and_nesting(spark):
+    """bind_once is semantically the identity let-binding: body(value)."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.functions.hofs import bind_once
+
+    df = spark.range(5).select(
+        "id",
+        bind_once(F.col("id") * 2, lambda v: v + 1).alias("x"),
+        bind_once(
+            F.sequence(F.lit(1), F.col("id") + 1),
+            lambda arr: F.size(arr) + F.element_at(arr, 1),
+        ).alias("y"),
+        bind_once(
+            F.split(F.lit("a b c"), " "),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat(F.element_at(t, i + 1), F.element_at(t, i + 2)),
+            ),
+        ).alias("sh"),
+    )
+    rows = df.orderBy("id").collect()
+    assert [r["x"] for r in rows] == [1, 3, 5, 7, 9]
+    assert [r["y"] for r in rows] == [2, 3, 4, 5, 6]
+    assert all(list(r["sh"]) == ["ab", "bc"] for r in rows)
