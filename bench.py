@@ -90,6 +90,15 @@ def materialize_corpus(spark, sf_dir: str, scaling: bool = False) -> str:
         _documents(spark, sf_dir, replicas).repartition(64).write.mode(
             "overwrite"
         ).parquet(f"{out}/documents")
+    if scaling and not os.path.exists(f"{out}/embeddings/_SUCCESS"):
+        # level-scaled ANN input, same rationale as documents above
+        from relation_extraction_using_llms_spark.sources.synthetic import (
+            embeddings_df,
+        )
+
+        embeddings_df(spark, sf_dir, replicas).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/embeddings")
     return out
 
 
@@ -206,7 +215,10 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
         docs_path = f"{SF_DIR}/documents.parquet"
     docs = spark.read.parquet(docs_path)
     timed("q_dedup_minhash", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5).count())
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb_path = f"{corpus}/embeddings"
+    if not os.path.exists(emb_path):
+        emb_path = f"{SF_DIR}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path)
     queries_df = emb.where(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

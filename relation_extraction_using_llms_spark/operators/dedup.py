@@ -352,7 +352,7 @@ def _embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float,
     id_col: str,
-    bucket_length: float = 2.0,
+    bucket_length: float = 0.25,
     num_hash_tables: int = 10,
 ) -> DataFrame:
     """LSH-blocked near-dup pairs: L2-normalize, bucket by random

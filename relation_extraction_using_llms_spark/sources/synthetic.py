@@ -413,3 +413,40 @@ def stub_responses_df(spark, sf_dir: str, techniques=None, models=None, replicas
             yield pd.DataFrame(rows)
 
     return _documents(spark, sf_dir, replicas).select("doc_id", "text", "lang").mapInPandas(gen, schema=LLM_RESPONSES)
+
+
+def embeddings_df(spark, sf_dir: str, replicas: int = 1):
+    """embeddings scan; ``replicas`` > 1 tiles the table with distinct
+    vec_ids and deterministic replica-salted vectors (uniform [-1, 1) from
+    xxhash64(vec_id, replica, dim) — pure JVM expressions), so a
+    level-scaled ANN benchmark input is N distinct shards, mirroring
+    ``_documents``'s vocabulary salting."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if replicas > 1:
+        dim = len(df.select("embedding").head()[0])
+        salted = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda k: (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.col("_r"), k), F.lit(2000))
+                / 1000.0
+                - 1.0
+            ).cast("float"),
+        )
+        df = (
+            df.withColumn(
+                "_r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+            )
+            .withColumn(
+                "vec_id",
+                F.col("vec_id")
+                + F.col("_r").cast("long") * F.lit(100_000_000).cast("long"),
+            )
+            .withColumn(
+                "embedding",
+                F.when(F.col("_r") == 0, F.col("embedding")).otherwise(salted),
+            )
+            .drop("_r")
+        )
+    return df
