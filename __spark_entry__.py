@@ -985,6 +985,25 @@ def q_dedup_minhash_recall(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_banding(spark, sf_dir):
+    """The simhash PAIRING stage (band join + xor-popcount hamming) over a
+    snapshot of the signatures — pure bit algebra DuckDB re-derives
+    exactly, verifying the banded-join logic the raw rows-only
+    ``dedup_simhash`` entry can't (the signature itself needs xxhash64,
+    absent in DuckDB)."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        simhash_pairs_from_signatures,
+        simhash_signatures,
+    )
+
+    sig_path = _snapshot(
+        simhash_signatures(_docs(spark, sf_dir)), "simhash_signatures", sf_dir
+    )
+    return simhash_pairs_from_signatures(
+        spark.read.parquet(sig_path), hamming_threshold=3
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Feature plumbing check: the first feature component re-scaled to its
     source uint16 (exact across float32 transport) so the DuckDB twin can
@@ -1074,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "dedup_minhash_recall": q_dedup_minhash_recall,
+        "dedup_simhash_banding": q_dedup_simhash_banding,
     }
 
 
@@ -1584,6 +1604,27 @@ def _snapshot_oracles() -> dict[str, str]:
                      AS recall
             FROM tot t LEFT JOIN hit h ON h.query_id = t.query_id
         """
+
+    # banded simhash pairing re-derived from the signature snapshot:
+    # 16-bit bands, self-join, exact hamming via xor + bit_count.  The >>
+    # must be arithmetic-compatible with Spark's (both shift signed i64;
+    # masking with 65535 makes the band value sign-agnostic)
+    out["dedup_simhash_banding"] = f"""
+        WITH banded AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (band * 16)) & 65535 AS band_val
+          FROM {snap('simhash_signatures')},
+               UNNEST(generate_series(0, 3)) AS u(band)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM banded a JOIN banded b USING (band, band_val)
+          WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
 
     out["ann_lsh_recall"] = recall_sql("ann_bf_out", "ann_lsh_out")
     out["ann_ivf_recall"] = recall_sql("ann_bf_out", "ann_ivf_out")

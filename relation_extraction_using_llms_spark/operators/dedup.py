@@ -238,12 +238,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(
-    documents: DataFrame, hamming_threshold: int = 3, n_bands: int = 4
-) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprint from token hashes, banded
-    join (a pair within hamming distance k<=n_bands-1 shares at least one
-    identical 16-bit band), exact hamming re-check via xor popcount."""
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash fingerprint from token hashes —
+    the signature stage of ``simhash_pairs``, exposed so the banded
+    pairing below it can be independently verified (the signature needs
+    xxhash64, which external oracles lack; the pairing is pure bit
+    algebra both engines can run)."""
     tokens = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
     tok = documents.select("doc_id", tokens).where(F.col("token") != "")
     th = tok.select("doc_id", F.xxhash64("token").alias("h"))
@@ -257,13 +257,21 @@ def simhash_pairs(
         F.expr("CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END").alias("v"),
     )
     sums = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
-    sim = sums.groupBy("doc_id").agg(
+    return sums.groupBy("doc_id").agg(
         F.sum(F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END")).alias(
             "simhash"
         )
     )
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame, hamming_threshold: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Banded pairing over (doc_id, simhash) signatures: a pair within
+    hamming distance k <= n_bands-1 shares at least one identical band;
+    exact hamming re-check via xor popcount."""
     band_size = 64 // n_bands
-    banded = sim.select(
+    banded = sig.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
@@ -286,6 +294,17 @@ def simhash_pairs(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     ).where(F.col("hamming") <= hamming_threshold).select("doc_a", "doc_b", "hamming")
+
+
+def simhash_pairs(
+    documents: DataFrame, hamming_threshold: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprint from token hashes, banded
+    join, exact hamming re-check via xor popcount (signature + pairing
+    stages composed)."""
+    return simhash_pairs_from_signatures(
+        simhash_signatures(documents), hamming_threshold, n_bands
+    )
 
 
 def embedding_near_dup_pairs(
