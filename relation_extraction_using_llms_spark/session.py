@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tuned_conf(shuffle_partitions: int = 32) -> dict:
+    """The engine's Spark conf, shared by ``get_spark`` (self-managed
+    sessions) and the spark-submit entrypoint (scripts/run_pipeline.py,
+    where master/deploy settings come from the submit command)."""
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        # AQE coalescing is byte-based and blind to Python-CPU-heavy
+        # applyInPandas stages: it collapsed the (small-bytes, big-CPU)
+        # resolution shuffle to ~1 partition, serializing the cascade
+        # (measured 23s -> 4s on sf0.1 by disabling).  We size
+        # shuffle_partitions explicitly instead; skew-join stays on.
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.ui.showConsoleProgress": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+
+
 def get_spark(
     app_name: str = "kg-construct",
     master: str | None = None,
@@ -45,23 +67,11 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        # AQE coalescing is byte-based and blind to Python-CPU-heavy
-        # applyInPandas stages: it collapsed the (small-bytes, big-CPU)
-        # resolution shuffle to ~1 partition, serializing the cascade
-        # (measured 23s -> 4s on sf0.1 by disabling).  We size
-        # shuffle_partitions explicitly instead; skew-join stays on.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in tuned_conf(shuffle_partitions).items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
