@@ -827,10 +827,15 @@ def q_incremental_catalog(spark, sf_dir):
     incremental_catalog_updates, applyInPandasWithState): stream the
     mention occurrences through the bounded-state catalog maintainer
     (AvailableNow + foreachBatch parquet sink — a memory sink cannot
-    recover a checkpoint) and return the FINAL per-entity state.  The
-    cumulative counts are batching-invariant, so the DuckDB oracle can
-    re-derive the same totals/top-form directly from the occurrences
-    snapshot — a hard batch-twin check on the streaming state logic."""
+    recover a checkpoint) and return the FINAL per-entity state.
+    mention_count is batching-invariant unconditionally; the top-form
+    table (canonical_guess) is batching-invariant only while an entity's
+    distinct forms stay within max_forms (eviction drops partial counts),
+    so the check runs with max_forms raised far above any test entity's
+    vocabulary AND AvailableNow drains the snapshot in a single batch —
+    under those conditions the DuckDB oracle can re-derive the same
+    totals/top-form directly from the occurrences snapshot, a hard
+    batch-twin check on the streaming state logic."""
     from relation_extraction_using_llms_spark.streaming.ingest import (
         incremental_catalog_updates,
     )
@@ -852,7 +857,7 @@ def q_incremental_catalog(spark, sf_dir):
             spark.readStream.schema("entity_id string, text string")
             .parquet(occ_path)
         )
-        updates = incremental_catalog_updates(stream, max_forms=64)
+        updates = incremental_catalog_updates(stream, max_forms=1024)
 
         def sink(batch_df, batch_id):
             batch_df.write.mode("append").parquet(out_path)
@@ -880,7 +885,12 @@ def q_incremental_catalog(spark, sf_dir):
 
 
 def _recall_df(exact_df, approx_df, keys, group_key):
-    """Per-group recall of ``exact_df`` rows found in ``approx_df``."""
+    """Per-group recall of ``exact_df`` rows found in ``approx_df``.
+    Both sides dedupe to the key grain first — the DuckDB twin works over
+    SELECT DISTINCT, so a duplicate row in a snapshot must not split the
+    engines."""
+    exact_df = exact_df.distinct()
+    approx_df = approx_df.distinct()
     hit = (
         exact_df.join(approx_df, keys, "left_semi")
         .groupBy(group_key)
@@ -1583,7 +1593,7 @@ def _snapshot_oracles() -> dict[str, str]:
         )
         SELECT entity_id,
                CAST(total AS BIGINT) AS mention_count,
-               CAST(least(nf, 64) AS INT) AS n_forms_tracked,
+               CAST(least(nf, 1024) AS INT) AS n_forms_tracked,
                text AS canonical_guess
         FROM r WHERE rk = 1
     """

@@ -74,16 +74,22 @@ def _shingle_hashes(n: int):
     hash, so skipping the join-to-string is free fidelity-wise (and,
     unlike string joining, token boundaries stay distinguishable)."""
     tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # docs shorter than n tokens get ONE hash over the whole token array
+    # (mirrors _shingles' single degenerate shingle); indexing past the
+    # array with element_at would raise under ANSI mode
     return _let(
         tokens,
-        lambda t: F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
-                lambda i: F.xxhash64(
-                    *[F.element_at(t, i + k + 1) for k in range(n)]
-                ),
-            )
-        ),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.xxhash64(
+                        *[F.element_at(t, i + k + 1) for k in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array(F.xxhash64(F.array_join(t, " ")))),
     )
 
 

@@ -558,6 +558,33 @@ def _resolve_pair_grain(
     return out.select(*[f.name for f in PREDICTED.fields])
 
 
+def _estimated_rows(df, min_bytes_per_row: int = 5) -> int | None:
+    """Row-count UPPER BOUND from the optimized plan's statistics — a pure
+    plan inspection, never a job.  Returns None when Catalyst has no
+    usable size (e.g. a live UDF DAG with default stats).
+
+    When only sizeInBytes is known the bound assumes rows can compress to
+    as few as ``min_bytes_per_row`` bytes (snappy parquet of repetitive
+    columns really does reach ~10 B/row), so the estimate OVERSHOOTS for
+    uncompressed relations — deliberately: the auto layout router below
+    should pick the small-input ``packed`` path only when the input is
+    confidently small, and fall back to the scale-safe ``pairs`` layout
+    whenever in doubt."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))  # py4j may hand back BigInt or int
+        size = int(str(stats.sizeInBytes()))
+        # Catalyst's "unknown" default is Long.MaxValue-ish; treat
+        # implausibly huge sizes as unknown
+        if size <= 0 or size >= (1 << 60):
+            return None
+        return max(1, size // min_bytes_per_row)
+    except Exception:
+        return None
+
+
 def resolve_in_document(
     pred_df,
     doc_candidates_df=None,
@@ -582,20 +609,27 @@ def resolve_in_document(
       Python with no shuffle) and mentions rarely repeat across documents.
     * ``bucketed``: entity metadata replicated per url-hash bucket — the
       middle ground when no materialized candidate table exists.
-    * ``auto`` (default): pick by input size with a BOUNDED probe —
-      ``pred_df.limit(auto_threshold + 1).count()`` (a scan that stops
-      early, never a full count).  Small inputs take ``packed`` (the
-      pair-grain layout's ~3 extra shuffles are pure fixed cost there);
-      anything bigger takes ``pairs``, whose Python cost tracks distinct
-      (mention, entity) pairs — the Zipfian-collapse that wins at web
-      scale.  Same answer either way (layout parity is tested); only
-      same-(stage, score, created_ord) ties can differ.
+    * ``auto`` (default): pick by input size from OPTIMIZER STATISTICS —
+      no probe job, so the call stays fully lazy (a count probe would
+      execute the whole upstream DAG, e.g. the Python parse stage, once
+      extra at plan-construction time).  When Catalyst knows a row count
+      (e.g. a materialized parquet stage table) it is used directly;
+      otherwise rows are estimated from sizeInBytes at ~200 bytes/row;
+      if nothing is known the scale-safe ``pairs`` layout wins.  Small
+      inputs take ``packed`` (the pair-grain layout's ~3 extra shuffles
+      are pure fixed cost there); anything bigger takes ``pairs``, whose
+      Python cost tracks distinct (mention, entity) pairs — the
+      Zipfian-collapse that wins at web scale.  Same answer either way
+      (layout parity is tested); only same-(stage, score, created_ord)
+      ties can differ.
     """
     if mode in ("pairs", "auto") and doc_candidates_df is None and membership_df is None:
         mode = "packed"  # legacy call shape: only a packed table provided
     if mode == "auto":
-        probe = pred_df.limit(auto_threshold + 1).count()
-        mode = "packed" if probe <= auto_threshold else "pairs"
+        est = _estimated_rows(pred_df)
+        mode = (
+            "packed" if est is not None and est <= auto_threshold else "pairs"
+        )
     if mode == "pairs":
         return _resolve_pair_grain(
             pred_df, doc_candidates_df, fuzzy_threshold,

@@ -36,6 +36,10 @@ def _make_pkg_zip(path: str) -> str:
 
 
 def test_spark_submit_py_files_end_to_end(tmp_path):
+    import pytest
+
+    if not os.path.exists(_spark_submit()):
+        pytest.skip("no spark-submit launcher on this host")
     zip_path = _make_pkg_zip(str(tmp_path / "kg_pkg.zip"))
     out = str(tmp_path / "out")
     env = dict(os.environ)
