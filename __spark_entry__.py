@@ -980,8 +980,10 @@ def q_dedup_minhash_recall(spark, sf_dir):
         "dedup_minhash_out",
         sf_dir,
     )
-    exact = spark.read.parquet(exact_p)
-    cand = spark.read.parquet(cand_p)
+    # distinct to the pair grain — the DuckDB twin works over SELECT
+    # DISTINCT, so a duplicate snapshot row must not split the engines
+    exact = spark.read.parquet(exact_p).distinct()
+    cand = spark.read.parquet(cand_p).distinct()
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_matched = exact.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_matched")
@@ -1579,7 +1581,9 @@ def _snapshot_oracles() -> dict[str, str]:
     # final streaming state per entity is batching-invariant (cumulative
     # counts; bounded top-form table ranked by count desc, form asc)
     out["incremental_catalog"] = f"""
-        WITH c AS (
+        WITH ents AS (
+          SELECT DISTINCT entity_id FROM {snap('mention_occurrences')}
+        ), c AS (
           SELECT entity_id, text, count(*) AS n
           FROM {snap('mention_occurrences')}
           WHERE text IS NOT NULL GROUP BY 1, 2
@@ -1591,11 +1595,14 @@ def _snapshot_oracles() -> dict[str, str]:
                  sum(n) OVER (PARTITION BY entity_id) AS total
           FROM c
         )
-        SELECT entity_id,
-               CAST(total AS BIGINT) AS mention_count,
-               CAST(least(nf, 1024) AS INT) AS n_forms_tracked,
-               text AS canonical_guess
-        FROM r WHERE rk = 1
+        -- LEFT JOIN from the entity universe: an entity whose every
+        -- mention text is NULL still gets a state row from the streaming
+        -- operator (update_fn skips nulls but emits), with zero counts
+        SELECT e.entity_id,
+               CAST(coalesce(r.total, 0) AS BIGINT) AS mention_count,
+               CAST(coalesce(least(r.nf, 1024), 0) AS INT) AS n_forms_tracked,
+               r.text AS canonical_guess
+        FROM ents e LEFT JOIN r ON r.entity_id = e.entity_id AND r.rk = 1
     """
 
     def recall_sql(exact_snap: str, approx_snap: str) -> str:

@@ -614,14 +614,18 @@ def resolve_in_document(
       execute the whole upstream DAG, e.g. the Python parse stage, once
       extra at plan-construction time).  When Catalyst knows a row count
       (e.g. a materialized parquet stage table) it is used directly;
-      otherwise rows are estimated from sizeInBytes at ~200 bytes/row;
-      if nothing is known the scale-safe ``pairs`` layout wins.  Small
-      inputs take ``packed`` (the pair-grain layout's ~3 extra shuffles
-      are pure fixed cost there); anything bigger takes ``pairs``, whose
-      Python cost tracks distinct (mention, entity) pairs — the
-      Zipfian-collapse that wins at web scale.  Same answer either way
-      (layout parity is tested); only same-(stage, score, created_ord)
-      ties can differ.
+      otherwise a conservative row-count UPPER BOUND is taken from
+      sizeInBytes assuming rows can compress to ~5 bytes (see
+      ``_estimated_rows``); if nothing is known the scale-safe ``pairs``
+      layout wins.  Small inputs take ``packed`` (the pair-grain
+      layout's ~3 extra shuffles are pure fixed cost there); anything
+      bigger takes ``pairs``, whose Python cost tracks distinct
+      (mention, entity) pairs — the Zipfian-collapse that wins at web
+      scale.  Same answer either way (layout parity is tested); only
+      same-(stage, score, created_ord) ties can differ — so the routing
+      depends on materialization state, and reproducibility-critical
+      paths (the pipeline plans) pin ``mode="pairs"``, the layout with
+      fully deterministic entity_id tie-breaks.
     """
     if mode in ("pairs", "auto") and doc_candidates_df is None and membership_df is None:
         mode = "packed"  # legacy call shape: only a packed table provided

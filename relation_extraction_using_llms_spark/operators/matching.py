@@ -386,9 +386,13 @@ def run_strategy(
     threshold: float | None = None,
     kernels: dict | None = None,
 ) -> list[dict]:
-    """``kernels`` overrides TEXT_KERNELS per strategy name (e.g. a served
-    embedding model wrapped by ``make_embedding_kernel`` for sbert /
-    bertscore); unlisted strategies keep their defaults."""
+    """``kernels`` overrides the similarity kernel per strategy name (e.g.
+    a served embedding model wrapped by ``make_embedding_kernel`` for
+    sbert / bertscore, or a whole replacement ensemble).  Overrides apply
+    to the kernel-family strategies (jaccard, token, levenshtein,
+    jaro_winkler, sbert, bertscore, ensemble); exact / fuzzy / text have
+    fixed reference semantics and ignore them.  Unlisted strategies keep
+    their defaults."""
     thr = DEFAULT_THRESHOLDS.get(strategy, 0.7) if threshold is None else threshold
     if strategy == "exact":
         return match_exact(preds, golds, match_type)
@@ -397,7 +401,8 @@ def run_strategy(
     if strategy == "text":
         return match_text(preds, golds, match_type, thr)
     if strategy == "ensemble":
-        return match_family(preds, golds, ensemble_kernel(), match_type, thr)
+        kernel = (kernels or {}).get("ensemble") or ensemble_kernel()
+        return match_family(preds, golds, kernel, match_type, thr)
     kernel = (kernels or {}).get(strategy) or TEXT_KERNELS[strategy]
     return match_family(preds, golds, kernel, match_type, thr)
 

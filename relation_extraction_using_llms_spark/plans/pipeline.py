@@ -109,6 +109,10 @@ def run_pipeline(
         triples,
         membership_df=ents.select("url", "entity_id"),
         catalog_df=link_cat,
+        # pinned (not auto): pipeline outputs must be reproducible across
+        # runs regardless of whether upstream stages happen to be
+        # materialized; pairs has fully deterministic tie-breaks
+        mode="pairs",
     )
 
     gold_rels = gold_relations(pages, ents)

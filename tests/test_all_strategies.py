@@ -152,3 +152,28 @@ def test_custom_embedding_kernel_injects_into_sbert(spark):
     ).collect()[0]
     assert plain["tp"] + plain["n_semantic"] == 0
     assert swapped["tp"] + swapped["n_semantic"] >= 1
+
+
+def test_ensemble_kernel_override_applies():
+    """kernels={'ensemble': ...} must replace the default member mix."""
+    from relation_extraction_using_llms_spark.operators.matching import (
+        make_embedding_kernel,
+        run_strategy,
+    )
+
+    preds = [{
+        "pred_index": 0, "head_mention": "alpha", "tail_mention": "beta",
+        "relation_type": "Association", "head_id": "H", "tail_id": "T",
+    }]
+    golds = [{
+        "rel_id": "R1", "head_id": "H2", "tail_id": "T2",
+        "rel_type": "Association",
+        "head_mentions": ["gamma"], "tail_mentions": ["delta"],
+    }]
+    base = run_strategy("ensemble", preds, golds, True)
+    assert not any(d["kind"] in ("tp", "semantic") for d in base)
+    injected = run_strategy(
+        "ensemble", preds, golds, True,
+        kernels={"ensemble": make_embedding_kernel(lambda t: [1.0])},
+    )
+    assert any(d["kind"] in ("tp", "semantic") for d in injected)
