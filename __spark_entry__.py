@@ -1895,7 +1895,9 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(precision), 6) AS macro_precision,
                    round(avg(recall), 6) AS macro_recall,
                    round(avg(f1), 6) AS macro_f1,
-                   sum(tp) AS total_tp, sum(fp) AS total_fp, sum(fn) AS total_fn,
+                   CAST(sum(tp) AS BIGINT) AS total_tp,
+                   CAST(sum(fp) AS BIGINT) AS total_fp,
+                   CAST(sum(fn) AS BIGINT) AS total_fn,
                    round(CASE WHEN sum(tp) + sum(fp) > 0
                        THEN sum(tp) * 1.0 / (sum(tp) + sum(fp)) ELSE 0.0 END, 9)
                        AS micro_precision,
