@@ -246,6 +246,51 @@ def q_parse_triples(spark, sf_dir):
     )
 
 
+def _parsed_raw_snapshot(spark, sf_dir) -> str:
+    """Parsed-but-UNVALIDATED triples + source text — the validator's
+    INPUT.  Produced by the production parser with the text column nulled
+    (parse_batches skips validation when text is falsy), then the real
+    text joined back on."""
+    from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
+    from relation_extraction_using_llms_spark.functions.parsing import (
+        parsed_triples_df,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import (
+        pages_df,
+        stub_responses_df,
+    )
+
+    clean = clean_text_df(pages_df(spark, sf_dir)).select("url", "text")
+    resp = stub_responses_df(spark, sf_dir, ["IO"], ["stub-large"])
+    raw = parsed_triples_df(
+        resp.join(clean, "url").withColumn("text", F.lit(None).cast("string"))
+    )
+    return _snapshot(
+        raw.select(
+            "url", "technique", "model", "pred_index",
+            "head_mention", "tail_mention",
+        ).join(clean, "url"),
+        "parsed_raw",
+        sf_dir,
+    )
+
+
+def q_parse_confidence(spark, sf_dir):
+    """X5/X6 oracled in isolation: mention-presence validation flags +
+    the 0.5 + 0.2/0.2/0.1 capped confidence formula (validator.py:64-205)
+    over the parsed-but-unvalidated snapshot; DuckDB re-derives the strict/
+    loose containment cascade and the formula per row."""
+    from relation_extraction_using_llms_spark.functions.parsing import validation_df
+
+    snap = spark.read.parquet(_parsed_raw_snapshot(spark, sf_dir))
+    out = validation_df(snap)
+    return out.select(
+        "url", "technique", "pred_index", "head_mention", "tail_mention",
+        "head_strict", "tail_strict", "head_ok", "tail_ok",
+        F.round("confidence", 6).alias("confidence"),
+    )
+
+
 def q_resolved_triples(spark, sf_dir):
     resolved = spark.read.parquet(_stage_snapshots(spark, sf_dir)["resolved"])
     return resolved.select(
@@ -639,10 +684,12 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
-def q_eval_all_strategies(spark, sf_dir):
-    """All 10 matching strategies (M1-M10) end-to-end on a 150-doc slice —
-    rows-only by design (greedy order-dependent matching is not
-    SQL-expressible)."""
+def _allstrat_snapshots(spark, sf_dir) -> dict:
+    """Run the all-strategies pipeline once per (process, sf_dir) and
+    snapshot (a) the matcher's INPUTS (resolved predictions + gold
+    relations — what the consistency oracle derives n_pred/n_gold from)
+    and (b) the matcher's raw counts output, which is itself the INPUT to
+    the derived consistency check (the ann-recall snapshot pattern)."""
     from relation_extraction_using_llms_spark.operators.matching import ALL_STRATEGIES
     from relation_extraction_using_llms_spark.plans.pipeline import (
         PipelineConfig,
@@ -651,6 +698,10 @@ def q_eval_all_strategies(spark, sf_dir):
     from relation_extraction_using_llms_spark.sources.stub_model import make_stub_model
     from relation_extraction_using_llms_spark.sources.synthetic import pages_df
 
+    key = (os.path.abspath(sf_dir), "allstrat")
+    got = _STAGE_MEMO.get(key)
+    if got is not None:
+        return got
     cfg = PipelineConfig(
         techniques=["ReAct"],
         models=["stub-large"],
@@ -659,10 +710,111 @@ def q_eval_all_strategies(spark, sf_dir):
     )
     pages = pages_df(spark, sf_dir).limit(150)
     stages = run_pipeline(spark, pages, cfg, model_fn=make_stub_model(sf_dir))
-    return stages["counts"].select(
+    paths = {
+        "counts": _snapshot(
+            stages["counts"].select(
+                "url", "strategy", "tp", "fp", "fn", "n_semantic",
+                "semantic_sum", "n_gold", "n_pred",
+            ),
+            "allstrat_counts",
+            sf_dir,
+        ),
+        "resolved": _snapshot(
+            stages["resolved"].select("url", "pred_index"),
+            "allstrat_resolved",
+            sf_dir,
+        ),
+        "gold": _snapshot(
+            stages["gold_relations"].select("url", "rel_id"),
+            "allstrat_gold",
+            sf_dir,
+        ),
+    }
+    _STAGE_MEMO[key] = paths
+    return paths
+
+
+def q_eval_all_strategies(spark, sf_dir):
+    """All 10 matching strategies (M1-M10) end-to-end on a 150-doc slice —
+    rows-only by design (greedy order-dependent matching is not
+    SQL-expressible); its aggregate is oracle-checked by
+    ``all_strategies_consistency``."""
+    counts = spark.read.parquet(_allstrat_snapshots(spark, sf_dir)["counts"])
+    return counts.select(
         "url", "strategy", "tp", "fp", "fn", "n_semantic",
         F.round("semantic_sum", 6).alias("semantic_sum"),
     )
+
+
+def q_all_strategies_consistency(spark, sf_dir):
+    """Derived oracle for the all-strategies run: per strategy, re-derive
+    count-consistency invariants against n_pred/n_gold computed
+    INDEPENDENTLY from the matcher's input snapshots — every prediction is
+    classified exactly once (tp + fp + n_semantic = n_pred), matched gold
+    never exceeds the gold set (tp + fn <= n_gold, with equality counted
+    separately: the exact strategy's tuple-tracked duplicate-gold semantics
+    allow <), and the UDF-reported n_pred/n_gold agree with the inputs.
+    DuckDB re-derives the identical table over the same snapshot bytes;
+    the *_violations columns are value-hashed, so a green row certifies
+    they are zero."""
+    snaps = _allstrat_snapshots(spark, sf_dir)
+    counts = spark.read.parquet(snaps["counts"])
+    npred = (
+        spark.read.parquet(snaps["resolved"])
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_pred_i"))
+    )
+    ngold = (
+        spark.read.parquet(snaps["gold"])
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_gold_i"))
+    )
+    base = npred.join(ngold, "url", "full_outer").select(
+        "url",
+        F.coalesce("n_pred_i", F.lit(0)).alias("n_pred_i"),
+        F.coalesce("n_gold_i", F.lit(0)).alias("n_gold_i"),
+    )
+    j = counts.join(base, "url", "left").select(
+        "strategy",
+        "tp",
+        "fp",
+        "fn",
+        "n_semantic",
+        "n_gold",
+        "n_pred",
+        F.coalesce("n_pred_i", F.lit(0)).alias("n_pred_i"),
+        F.coalesce("n_gold_i", F.lit(0)).alias("n_gold_i"),
+    )
+    pred_sum = F.col("tp") + F.col("fp") + F.col("n_semantic")
+    per = j.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("tp").cast("long").alias("total_tp"),
+        F.sum("fp").cast("long").alias("total_fp"),
+        F.sum("fn").cast("long").alias("total_fn"),
+        F.sum("n_semantic").cast("long").alias("total_semantic"),
+        F.sum(F.when(pred_sum != F.col("n_pred_i"), 1).otherwise(0))
+        .cast("long")
+        .alias("pred_sum_violations"),
+        F.sum(F.when(F.col("tp") + F.col("fn") > F.col("n_gold_i"), 1).otherwise(0))
+        .cast("long")
+        .alias("gold_bound_violations"),
+        F.sum(F.when(F.col("tp") + F.col("fn") == F.col("n_gold_i"), 1).otherwise(0))
+        .cast("long")
+        .alias("gold_exact_urls"),
+        F.sum(
+            F.when(
+                (F.col("n_pred") != F.col("n_pred_i"))
+                | (F.col("n_gold") != F.col("n_gold_i")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("reported_count_violations"),
+    )
+    missing = base.join(
+        counts.select("url").distinct(), "url", "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("missing_urls"))
+    return per.crossJoin(F.broadcast(missing))
 
 
 def q_events_sessions(spark, sf_dir):
@@ -1061,12 +1213,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_relations": q_gold_relations,
         "entity_catalog": q_entity_catalog,
         "parse_triples": q_parse_triples,
+        "parse_confidence": q_parse_confidence,
         "resolved_triples": q_resolved_triples,
         "eval_per_doc": q_eval_per_doc,
         "eval_aggregate": q_eval_aggregate,
         "model_ranking": q_model_ranking,
         "canonical_triples": q_canonical_triples,
         "eval_all_strategies": q_eval_all_strategies,
+        "all_strategies_consistency": q_all_strategies_consistency,
         # dedup / similarity / text / multimodal (SQL twins where exact)
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
@@ -1654,6 +1808,102 @@ def _snapshot_oracles() -> dict[str, str]:
         SELECT t.n_exact, CAST(m.n_matched AS BIGINT) AS n_matched,
                round(m.n_matched * 1.0 / greatest(t.n_exact, 1), 6) AS recall
         FROM t, m
+    """
+
+    def _mention_flags(m: str, prefix: str, norm: str) -> str:
+        """SQL twins of mention_in_text (validator.py:64-120): strict
+        containment; loose cascade = case-insensitive containment ->
+        norm_alnum containment -> (>3-word mentions) >=60% word overlap."""
+        return f"""
+            position({m} IN text) > 0 AS {prefix}_strict,
+            CASE
+              WHEN position(lower({m}) IN x_low) > 0 THEN TRUE
+              WHEN {norm} <> '' AND position({norm} IN x_norm) > 0 THEN TRUE
+              WHEN len(string_split_regex(trim({m}), '\\s+')) > 3
+                   AND {norm} <> ''
+                THEN len(list_intersect(
+                         list_distinct(string_split({norm}, ' ')),
+                         list_distinct(string_split(x_norm, ' ')))) * 1.0
+                     / len(list_distinct(string_split({norm}, ' '))) >= 0.6
+              ELSE FALSE
+            END AS {prefix}_ok"""
+
+    alnum = (
+        "trim(regexp_replace(regexp_replace(lower({0}), '[^\\w\\s]', '', 'g'),"
+        " '\\s+', ' ', 'g'))"
+    )
+    out["parse_confidence"] = f"""
+        WITH n AS (
+          SELECT url, technique, pred_index, head_mention, tail_mention,
+                 text,
+                 lower(text) AS x_low,
+                 {alnum.format('head_mention')} AS h_norm,
+                 {alnum.format('tail_mention')} AS t_norm,
+                 {alnum.format('text')} AS x_norm
+          FROM {snap('parsed_raw')}
+        ), f AS (
+          SELECT url, technique, pred_index, head_mention, tail_mention,
+                 {_mention_flags('head_mention', 'head', 'h_norm')},
+                 {_mention_flags('tail_mention', 'tail', 't_norm')}
+          FROM n
+        )
+        SELECT url, technique, pred_index, head_mention, tail_mention,
+               head_strict, tail_strict, head_ok, tail_ok,
+               round(least(CAST(1.0 AS DOUBLE),
+                   CAST(0.5 AS DOUBLE)
+                   + CASE WHEN head_strict THEN CAST(0.2 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END
+                   + CASE WHEN tail_strict THEN CAST(0.2 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END
+                   + CASE WHEN head_ok AND tail_ok THEN CAST(0.1 AS DOUBLE)
+                          ELSE CAST(0.0 AS DOUBLE) END), 6) AS confidence
+        FROM f
+    """
+
+    out["all_strategies_consistency"] = f"""
+        WITH np AS (
+          SELECT url, count(*) AS n_pred_i
+          FROM {snap('allstrat_resolved')} GROUP BY 1
+        ), ng AS (
+          SELECT url, count(*) AS n_gold_i
+          FROM {snap('allstrat_gold')} GROUP BY 1
+        ), base AS (
+          SELECT coalesce(np.url, ng.url) AS url,
+                 coalesce(n_pred_i, 0) AS n_pred_i,
+                 coalesce(n_gold_i, 0) AS n_gold_i
+          FROM np FULL OUTER JOIN ng ON np.url = ng.url
+        ), c AS (
+          SELECT * FROM {snap('allstrat_counts')}
+        ), j AS (
+          SELECT c.strategy, c.tp, c.fp, c.fn, c.n_semantic,
+                 c.n_gold, c.n_pred,
+                 coalesce(base.n_pred_i, 0) AS n_pred_i,
+                 coalesce(base.n_gold_i, 0) AS n_gold_i
+          FROM c LEFT JOIN base ON c.url = base.url
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS missing_urls
+          FROM base WHERE url NOT IN (SELECT DISTINCT url FROM c)
+        )
+        SELECT strategy,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(tp) AS BIGINT) AS total_tp,
+               CAST(sum(fp) AS BIGINT) AS total_fp,
+               CAST(sum(fn) AS BIGINT) AS total_fn,
+               CAST(sum(n_semantic) AS BIGINT) AS total_semantic,
+               CAST(sum(CASE WHEN tp + fp + n_semantic <> n_pred_i
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pred_sum_violations,
+               CAST(sum(CASE WHEN tp + fn > n_gold_i
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS gold_bound_violations,
+               CAST(sum(CASE WHEN tp + fn = n_gold_i
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS gold_exact_urls,
+               CAST(sum(CASE WHEN n_pred <> n_pred_i OR n_gold <> n_gold_i
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS reported_count_violations,
+               (SELECT missing_urls FROM m) AS missing_urls
+        FROM j GROUP BY strategy
     """
     return out
 

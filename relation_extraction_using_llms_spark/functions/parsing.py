@@ -212,6 +212,57 @@ def error_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
+VALIDATION_SCHEMA = (
+    "url string, technique string, model string, pred_index int,"
+    " head_mention string, tail_mention string, head_strict boolean,"
+    " tail_strict boolean, head_ok boolean, tail_ok boolean,"
+    " confidence double"
+)
+
+
+def validation_df(triples_with_text_df):
+    """X5/X6 isolated: mention-presence flags + confidence assignment over
+    already-parsed triples (validator.py:64-205 semantics — strict
+    containment, the loose cascade, and the 0.5 + 0.2/0.2/0.1 capped
+    confidence formula).  Pure per-row column logic over (mention, text);
+    the DuckDB oracle re-derives every output column in SQL.
+
+    Input: (url, technique, model, pred_index, head_mention, tail_mention,
+    text); output adds the two strict flags, the two loose flags and
+    ``confidence``.
+    """
+    cols = triples_with_text_df.select(
+        "url", "technique", "model", "pred_index",
+        "head_mention", "tail_mention", "text",
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "technique", "model", "pred_index", "head_mention",
+                "tail_mention", "head_strict", "tail_strict", "head_ok",
+                "tail_ok", "confidence",
+            )}
+            for url, tech, model, idx, head, tail, text in zip(
+                pdf["url"], pdf["technique"], pdf["model"], pdf["pred_index"],
+                pdf["head_mention"], pdf["tail_mention"], pdf["text"],
+            ):
+                out["url"].append(url)
+                out["technique"].append(tech)
+                out["model"].append(model)
+                out["pred_index"].append(idx)
+                out["head_mention"].append(head)
+                out["tail_mention"].append(tail)
+                out["head_strict"].append(mention_in_text(head, text, strict=True))
+                out["tail_strict"].append(mention_in_text(tail, text, strict=True))
+                out["head_ok"].append(mention_in_text(head, text))
+                out["tail_ok"].append(mention_in_text(tail, text))
+                out["confidence"].append(confidence_score(head, tail, text))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(fn, schema=VALIDATION_SCHEMA)
+
+
 def parsed_triples_df(responses_with_text_df):
     """(url, technique, model, response, text) -> PREDICTED DataFrame."""
     from ..schemas import PREDICTED

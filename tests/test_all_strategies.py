@@ -60,6 +60,25 @@ def test_count_invariants(eval_counts):
         assert r["semantic_sum"] >= 0.0
 
 
+def test_all_strategies_consistency_zero_violations(spark, sf_dir):
+    """The driver-facing derived oracle must certify ZERO violations: every
+    prediction classified exactly once against INDEPENDENTLY derived
+    n_pred, gold never over-consumed, UDF-reported counts agreeing with
+    the matcher-input snapshots, and no url dropped from the output."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["all_strategies_consistency"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(ALL_STRATEGIES)
+    for r in rows:
+        assert r["pred_sum_violations"] == 0, r
+        assert r["gold_bound_violations"] == 0, r
+        assert r["reported_count_violations"] == 0, r
+        assert r["missing_urls"] == 0, r
+        assert r["gold_exact_urls"] <= r["n_urls"], r
+
+
 def test_strategy_ordering_sanity(eval_counts):
     """Looser kernels should not find fewer matches than exact-ID matching
     in aggregate (they match on text, which the stub corrupts less than

@@ -139,3 +139,40 @@ def test_parsed_triples_df(spark, sf_dir):
         key = (r["url"], r["technique"], r["model"])
         assert r["pred_index"] == seen.get(key, -1) + 1 or r["pred_index"] == 0
         seen[key] = max(seen.get(key, -1), r["pred_index"])
+
+
+def test_validation_df_matches_fused_parser(spark, sf_dir):
+    """The isolated X5/X6 operator (validation_df) must assign the same
+    confidence the fused parse-then-validate path does, row for row."""
+    from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
+    from relation_extraction_using_llms_spark.sources.synthetic import (
+        pages_df,
+        stub_responses_df,
+    )
+    from pyspark.sql import functions as F
+
+    clean = clean_text_df(pages_df(spark, sf_dir)).select("url", "text")
+    responses = stub_responses_df(
+        spark, sf_dir, techniques=["IO"], models=["stub-large"]
+    )
+    joined = responses.join(clean, "url")
+    fused = rp.parsed_triples_df(joined).select(
+        "url", "technique", "model", "pred_index",
+        F.col("confidence").alias("fused_confidence"),
+    )
+    raw = rp.parsed_triples_df(
+        joined.withColumn("text", F.lit(None).cast("string"))
+    ).select("url", "technique", "model", "pred_index",
+             "head_mention", "tail_mention")
+    isolated = rp.validation_df(raw.join(clean, "url"))
+    cmp = isolated.join(fused, ["url", "technique", "model", "pred_index"])
+    rows = cmp.collect()
+    assert rows
+    for r in rows:
+        assert r["confidence"] == pytest.approx(r["fused_confidence"]), r
+        # flags are internally consistent with the formula
+        expect = 0.5
+        expect += 0.2 if r["head_strict"] else 0.0
+        expect += 0.2 if r["tail_strict"] else 0.0
+        expect += 0.1 if (r["head_ok"] and r["tail_ok"]) else 0.0
+        assert r["confidence"] == pytest.approx(min(1.0, expect)), r
