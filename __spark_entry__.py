@@ -137,6 +137,13 @@ def _stage_snapshots(spark, sf_dir, variant: str = "base") -> dict:
             combos=[("IO", "stub-large"), ("ReAct", "stub-large")],
         )
         paths["details"] = _snapshot(details, "details", sf_dir)
+        paths["link_catalog"] = _snapshot(
+            stages["entity_catalog"].select(
+                "entity_id", "exact_forms", "created_ord"
+            ),
+            "link_catalog",
+            sf_dir,
+        )
     _STAGE_MEMO[key] = paths
     return paths
 
@@ -304,6 +311,56 @@ def q_resolved_triples(spark, sf_dir):
         "head_id",
         "tail_id",
     )
+
+
+def q_resolve_exact_stage(spark, sf_dir):
+    """Hard oracle over the cascade's stage-1 (exact surface form) subset:
+    the (url, mention) -> entity_id map the PRODUCTION pipeline resolved
+    (read from the resolved snapshot), restricted to mentions with an
+    exact-form hit among their document's member entities.  DuckDB
+    independently re-derives the winner (lowered-mention = exact form,
+    membership-restricted, earliest (created_ord, entity_id) wins — the
+    pairs layout's deterministic precedence, linking.py:408-418, 534-543),
+    so a wrong cascade answer on any exact-hit mention is a hash fail.
+    Exact hits dominate real corpora, putting the majority of resolutions
+    under the hard oracle; only the fuzzy tail stays rows-only."""
+    snaps = _stage_snapshots(spark, sf_dir)
+    resolved = spark.read.parquet(snaps["resolved"])
+    cat = spark.read.parquet(snaps["link_catalog"])
+    memb = spark.read.parquet(_ents_input_snapshot(spark, sf_dir)).select(
+        "url", "entity_id"
+    )
+    sites = (
+        resolved.select(
+            "url",
+            F.col("head_mention").alias("mention"),
+            F.col("head_id").alias("entity_id"),
+        )
+        .unionByName(
+            resolved.select(
+                "url",
+                F.col("tail_mention").alias("mention"),
+                F.col("tail_id").alias("entity_id"),
+            )
+        )
+        .distinct()
+    )
+    forms = cat.select(
+        F.col("entity_id").alias("cand_id"), F.explode("exact_forms").alias("form")
+    )
+    stage1 = (
+        sites.select("url", "mention")
+        .distinct()
+        .join(forms, F.lower(F.trim(F.col("mention"))) == F.col("form"))
+        .join(
+            memb.select("url", F.col("entity_id").alias("cand_id")),
+            ["url", "cand_id"],
+            "left_semi",
+        )
+        .select("url", "mention")
+        .distinct()
+    )
+    return sites.join(stage1, ["url", "mention"], "left_semi")
 
 
 def q_eval_per_doc(spark, sf_dir):
@@ -1215,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_triples": q_parse_triples,
         "parse_confidence": q_parse_confidence,
         "resolved_triples": q_resolved_triples,
+        "resolve_exact_stage": q_resolve_exact_stage,
         "eval_per_doc": q_eval_per_doc,
         "eval_aggregate": q_eval_aggregate,
         "model_ranking": q_model_ranking,
@@ -1858,6 +1916,33 @@ def _snapshot_oracles() -> dict[str, str]:
                    + CASE WHEN head_ok AND tail_ok THEN CAST(0.1 AS DOUBLE)
                           ELSE CAST(0.0 AS DOUBLE) END), 6) AS confidence
         FROM f
+    """
+
+    out["resolve_exact_stage"] = f"""
+        WITH sites AS (
+          SELECT DISTINCT url, head_mention AS mention
+          FROM {snap('resolved')}
+          UNION
+          SELECT DISTINCT url, tail_mention FROM {snap('resolved')}
+        ), forms AS (
+          SELECT entity_id AS cand_id, created_ord, unnest(exact_forms) AS form
+          FROM {snap('link_catalog')}
+        ), memb AS (
+          SELECT DISTINCT url, entity_id AS cand_id
+          FROM {snap('gold_entities_input')}
+        ), hits AS (
+          SELECT s.url, s.mention, f.cand_id, f.created_ord
+          FROM sites s
+          JOIN forms f ON lower(trim(s.mention)) = f.form
+          JOIN memb m ON m.url = s.url AND m.cand_id = f.cand_id
+        ), winners AS (
+          SELECT url, mention, cand_id AS entity_id,
+                 row_number() OVER (
+                   PARTITION BY url, mention
+                   ORDER BY created_ord, cand_id) AS rn
+          FROM hits
+        )
+        SELECT url, mention, entity_id FROM winners WHERE rn = 1
     """
 
     out["all_strategies_consistency"] = f"""
