@@ -210,13 +210,16 @@ def run_stages(spark, corpus: str, responses_name: str = "responses",
     # level-scaled (replicated, vocabulary-salted) documents shard so its
     # wall time can actually drop with cores; default mode keeps the fixed
     # sf input for round-over-round comparability
+    # gate on the _SUCCESS marker (matching materialize_corpus), not the
+    # directory: a partially written shard from an interrupted run must
+    # fall back to the fixed sf input, not be read as-is
     docs_path = f"{corpus}/documents"
-    if not os.path.exists(docs_path):
+    if not os.path.exists(f"{docs_path}/_SUCCESS"):
         docs_path = f"{SF_DIR}/documents.parquet"
     docs = spark.read.parquet(docs_path)
     timed("q_dedup_minhash", lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.5).count())
     emb_path = f"{corpus}/embeddings"
-    if not os.path.exists(emb_path):
+    if not os.path.exists(f"{emb_path}/_SUCCESS"):
         emb_path = f"{SF_DIR}/embeddings.parquet"
     emb = spark.read.parquet(emb_path)
     queries_df = emb.where(F.col("vec_id") < 32).select(

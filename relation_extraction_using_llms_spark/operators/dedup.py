@@ -325,24 +325,33 @@ def embedding_near_dup_pairs(
     ``method="exact"`` is the all-pairs crossJoin twin (the DuckDB-oracled
     reference semantics — O(n^2), fine to ~10^5 rows).  ``method="lsh"`` is
     the scale path: random-projection LSH blocking on unit vectors + exact
-    cosine on candidates only.  The default ``"auto"`` routes to LSH above
-    ``max_exact_rows`` (bounded probe, not a full count) so the public API
-    is never an accidental 10^12-row crossJoin; because LSH recall is < 1,
-    the switch is surfaced as a warning — callers needing exhaustive pairs
-    must pin ``method="exact"`` explicitly."""
+    cosine on candidates only.  The default ``"auto"`` routes from
+    OPTIMIZER STATISTICS (a row-count upper bound; never a job, so the
+    call stays fully lazy even over a live UDF DAG) so the public API is
+    never an accidental 10^12-row crossJoin; the 5 B/row compression floor
+    is safe here because embedding rows are high-entropy float arrays that
+    cannot compress anywhere near it, so the estimate only OVERSHOOTS —
+    i.e. auto can only err toward the scale-safe LSH path.  Because LSH
+    recall is < 1, that switch is surfaced as a warning — callers needing
+    exhaustive pairs must pin ``method="exact"`` explicitly."""
     if method == "auto":
-        probe = embeddings.limit(max_exact_rows + 1).count()
-        if probe > max_exact_rows:
+        from .linking import _estimated_rows
+
+        est = _estimated_rows(embeddings)
+        if est is None or est > max_exact_rows:
             import warnings
 
             warnings.warn(
-                f"embedding_near_dup_pairs: input exceeds {max_exact_rows} "
-                "rows; auto-routing to approximate LSH blocking (recall < 1)."
-                " Pass method='exact' to force exhaustive all-pairs, or"
-                " method='lsh' to silence this warning.",
+                "embedding_near_dup_pairs: input's estimated row bound "
+                f"({est}) exceeds {max_exact_rows}; auto-routing to "
+                "approximate LSH blocking (recall < 1). Pass "
+                "method='exact' to force exhaustive all-pairs, or "
+                "method='lsh' to silence this warning.",
                 stacklevel=2,
             )
-        method = "exact" if probe <= max_exact_rows else "lsh"
+            method = "lsh"
+        else:
+            method = "exact"
     if method == "lsh":
         return _embedding_near_dup_lsh(embeddings, threshold, id_col)
 

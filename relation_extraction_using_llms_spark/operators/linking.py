@@ -558,23 +558,66 @@ def _resolve_pair_grain(
     return out.select(*[f.name for f in PREDICTED.fields])
 
 
+def _parquet_scan_rows(df, max_files: int = 256) -> int | None:
+    """EXACT row count from parquet footer metadata when the plan is just
+    scan (+ project / filter) — a driver-side metadata read, never a job.
+    Returns None for any other plan shape: project/filter keep per-source
+    multiplicity <= 1 (so footer counts stay an upper bound), but a join /
+    explode / generate could multiply rows and disqualifies the shortcut.
+
+    This is the "rowCount from a committed stage" path: materialized stage
+    tables (the normal auto-routing scenario) get an exact answer that no
+    compression-ratio heuristic can fool."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while True:
+            cls = node.getClass().getSimpleName()
+            if cls in ("Project", "Filter"):
+                if node.children().size() != 1:
+                    return None
+                node = node.children().apply(0)
+                continue
+            if cls == "LogicalRelation":
+                break
+            return None
+        files = df.inputFiles()
+        if not files or len(files) > max_files:
+            return None
+        if not all(f.endswith(".parquet") for f in files):
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            path = f[len("file:"):] if f.startswith("file:") else f
+            total += pq.read_metadata(path).num_rows
+        return total
+    except Exception:
+        return None
+
+
 def _estimated_rows(df, min_bytes_per_row: int = 5) -> int | None:
     """Row-count UPPER BOUND from the optimized plan's statistics — a pure
-    plan inspection, never a job.  Returns None when Catalyst has no
-    usable size (e.g. a live UDF DAG with default stats).
+    plan inspection plus at most a parquet-footer metadata read, never a
+    job.  Returns None when nothing usable is known (e.g. a live UDF DAG
+    with default stats).
 
-    When only sizeInBytes is known the bound assumes rows can compress to
-    as few as ``min_bytes_per_row`` bytes (snappy parquet of repetitive
-    columns really does reach ~10 B/row), so the estimate OVERSHOOTS for
-    uncompressed relations — deliberately: the auto layout router below
-    should pick the small-input ``packed`` path only when the input is
-    confidently small, and fall back to the scale-safe ``pairs`` layout
-    whenever in doubt."""
+    Resolution order: Catalyst rowCount when defined -> exact parquet
+    footer counts for scan-shaped plans (``_parquet_scan_rows``) ->
+    sizeInBytes / ``min_bytes_per_row``.  The byte heuristic assumes rows
+    can compress to as few as ``min_bytes_per_row`` bytes, so it
+    OVERSHOOTS for uncompressed relations — deliberately: the auto layout
+    router below should pick the small-input ``packed`` path only when
+    the input is confidently small, and fall back to the scale-safe
+    ``pairs`` layout whenever in doubt."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
         if rc.isDefined():
             return int(str(rc.get()))  # py4j may hand back BigInt or int
+        exact = _parquet_scan_rows(df)
+        if exact is not None:
+            return exact
         size = int(str(stats.sizeInBytes()))
         # Catalyst's "unknown" default is Long.MaxValue-ish; treat
         # implausibly huge sizes as unknown
@@ -630,7 +673,12 @@ def resolve_in_document(
     if mode in ("pairs", "auto") and doc_candidates_df is None and membership_df is None:
         mode = "packed"  # legacy call shape: only a packed table provided
     if mode == "auto":
-        est = _estimated_rows(pred_df)
+        # 2 B/row floor (not the default 5): prediction rows are repetitive
+        # text that snappy CAN compress below 5 B/row, and the packed route
+        # must only win when the input is confidently small — widen the
+        # margin toward the scale-safe pairs layout (perf-only either way;
+        # layouts are parity-tested).
+        est = _estimated_rows(pred_df, min_bytes_per_row=2)
         mode = (
             "packed" if est is not None and est <= auto_threshold else "pairs"
         )

@@ -28,6 +28,7 @@ Strategy semantics mirror (not copy):
 from __future__ import annotations
 
 import hashlib
+import itertools
 import math
 from collections.abc import Iterable
 from functools import lru_cache
@@ -371,7 +372,11 @@ def make_embedding_kernel(embed_fn, cache_size: int = 262144):
             nb = math.sqrt(sum(y * y for y in b))
             score = max(0.0, dot / (na * nb)) if na > 0 and nb > 0 else 0.0
         if len(cache) >= cache_size:
-            cache.clear()
+            # evict the oldest half (dict preserves insertion order) — a
+            # full clear() would thrash a working set slightly above the
+            # cap to a ~0% hit rate on every executor batch
+            for k in list(itertools.islice(cache, cache_size // 2)):
+                del cache[k]
         cache[key] = score
         return score
 

@@ -272,7 +272,7 @@ def rag_context_ann(
         candidate_distance=candidate_distance,
         num_hash_tables=num_hash_tables,
     )
-    return (
+    ctx = (
         top.join(s, top.vec_id == s.snippet_id)
         .groupBy(F.col("query_id").alias("url"))
         .agg(
@@ -284,6 +284,16 @@ def rag_context_ann(
                 "\n---\n",
             ).alias("context")
         )
+    )
+    # a url whose truncated query finds zero LSH candidates must still
+    # yield a row (null context) — rag_context always produces one per
+    # url, and the prompt builder's left join would otherwise silently
+    # drop retrieved context for those documents
+    return (
+        clean_text.select("url")
+        .distinct()
+        .join(ctx, "url", "left")
+        .select("url", "context")
     )
 
 

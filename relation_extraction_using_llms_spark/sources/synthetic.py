@@ -425,7 +425,17 @@ def embeddings_df(spark, sf_dir: str, replicas: int = 1):
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if replicas > 1:
-        dim = len(df.select("embedding").head()[0])
+        # dim inference needs one driver-side row (the array length is not
+        # in the schema); fail with a clear message on an empty table
+        # instead of head()'s TypeError-on-None
+        first = df.select("embedding").head()
+        if first is None or first[0] is None:
+            raise ValueError(
+                f"embeddings_df(replicas={replicas}): embeddings table at "
+                f"{sf_dir} is empty (or its first embedding is null); "
+                "cannot infer the vector dim for replica salting"
+            )
+        dim = len(first[0])
         salted = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda k: (

@@ -173,6 +173,30 @@ def test_custom_embedding_kernel_injects_into_sbert(spark):
     assert swapped["tp"] + swapped["n_semantic"] >= 1
 
 
+def test_embedding_kernel_cache_evicts_partially():
+    """Hitting the cache cap must evict only the oldest half, so a working
+    set slightly above the cap keeps a useful hit rate (a full clear()
+    would thrash to ~0%)."""
+    from relation_extraction_using_llms_spark.operators.matching import (
+        make_embedding_kernel,
+    )
+
+    calls = []
+
+    def embed(t):
+        calls.append(t)
+        return [float(len(t)), 1.0]
+
+    kernel = make_embedding_kernel(embed, cache_size=8)
+    pairs = [(f"aa{i}", f"bb{i}") for i in range(9)]
+    for a, b in pairs:  # 9th insert triggers eviction of the oldest 4
+        kernel(a, b)
+    n_first = len(calls)
+    for a, b in pairs[4:]:  # the newest half must still be cached
+        kernel(a, b)
+    assert len(calls) == n_first  # zero extra embed calls (clear() -> +8)
+
+
 def test_ensemble_kernel_override_applies():
     """kernels={'ensemble': ...} must replace the default member mix."""
     from relation_extraction_using_llms_spark.operators.matching import (

@@ -308,6 +308,55 @@ def test_embedding_auto_routing_warns_on_lsh(spark):
         assert not any("auto-routing" in str(w.message) for w in rec)
 
 
+def test_embedding_auto_mode_stays_lazy(spark):
+    """embedding_near_dup_pairs method='auto' must route from plan
+    statistics, never by running a job (mirror of
+    test_resolve_auto_mode_stays_lazy): building the pairs DataFrame over
+    a poisoned upstream DAG must not execute it."""
+    import warnings
+
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    def boom(batches):
+        raise RuntimeError("upstream DAG executed during planning")
+        yield  # pragma: no cover
+
+    poisoned = spark.range(4).mapInPandas(
+        boom, schema="vec_id long, embedding array<double>"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pairs = embedding_near_dup_pairs(poisoned, threshold=0.99)
+    with pytest.raises(Exception, match="upstream DAG executed"):
+        pairs.count()
+
+
+def test_estimated_rows_exact_for_committed_stage(spark, tmp_path):
+    """A materialized parquet stage gets an EXACT footer row count (no
+    compression-ratio heuristic), including under project/filter; any
+    multiplying node falls back to the byte heuristic."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.operators.linking import (
+        _estimated_rows,
+        _parquet_scan_rows,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(1234).selectExpr(
+        "cast(id AS string) AS url", "'x' AS head_mention"
+    ).write.mode("overwrite").parquet(p)
+    scan = spark.read.parquet(p)
+    assert _parquet_scan_rows(scan) == 1234
+    assert _estimated_rows(scan) == 1234
+    assert _parquet_scan_rows(scan.select("url")) == 1234
+    assert _parquet_scan_rows(scan.where(F.col("url") > "")) == 1234
+    joined = scan.join(scan.select("url").distinct(), "url")
+    assert _parquet_scan_rows(joined) is None
+
+
 def test_bind_once_identity_and_nesting(spark):
     """bind_once is semantically the identity let-binding: body(value)."""
     import pyspark.sql.functions as F
