@@ -260,9 +260,9 @@ def warm_workers(spark, corpus: str) -> None:
         membership_df=ents.select("url", "entity_id"),
         catalog_df=full_catalog(ents),
     ).count()
-    # ML-backed stages pay one-time JVM class-loading + codegen on first
-    # use (BucketedRandomProjectionLSH / MinHashLSH); warm them on 64-row
-    # slices for the same reason the Python workers are warmed above
+    # the ANN/dedup stages pay one-time Janino codegen of their nested-HOF
+    # expressions on first use; warm them on 64-row slices for the same
+    # reason the Python workers are warmed above
     emb64 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(64)
     q8 = emb64.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
     lsh_topk(emb64, q8, k=3).count()

@@ -388,48 +388,54 @@ def _embedding_near_dup_lsh(
     id_col: str,
     bucket_length: float = 0.25,
     num_hash_tables: int = 10,
+    seed: int = 11,
 ) -> DataFrame:
-    """LSH-blocked near-dup pairs: L2-normalize, bucket by random
-    projections, self-join within ``d <= sqrt(2 - 2*threshold)`` (euclidean
-    on the unit sphere is monotone in cosine), report exact cosine."""
-    import math
-
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    n = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x))
-    # zero-norm embeddings are excluded (mirrors minhash_lsh_pairs' size
-    # guard): a zero vector can never reach a positive cosine threshold.
-    # The divisor keeps the when-guard because Catalyst may merge this
-    # filter with the LSH's own hash-UDF predicate and evaluate the
-    # division on excluded rows (ANSI DIVIDE_BY_ZERO otherwise).
-    nc = F.col("_n")
-    unit = (
-        embeddings.withColumn("_n", n)
-        .where(F.col("_n") > 0)
-        .select(
-            F.col(id_col).alias("vid"),
-            array_to_vector(
-                F.transform(
-                    "embedding", lambda x: F.coalesce(x / F.when(nc > 0, nc), F.lit(0.0)).cast("double")
-                )
-            ).alias("features"),
-        )
+    """LSH-blocked near-dup pairs on the NATIVE random-projection core
+    (see ``similarity._rp_bucket_entries``): bucket the unit vectors with
+    seeded literal projections, self-join (table, bucket) carrying ids
+    only, dedup candidate pairs, exact-cosine re-score ``>= threshold``.
+    All whole-stage codegen — the MLlib approxSimilarityJoin this replaces
+    paid a fixed ~2-4 s per call (vector UDF distance + un-codegen'd
+    entry join).  Zero-norm embeddings are excluded (a zero vector can
+    never reach a positive cosine threshold)."""
+    from .similarity import (
+        _embedding_dim,
+        _exact_cosine,
+        _rp_bucket_entries,
+        _rp_projections,
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=11,
-    ).fit(unit)
-    max_dist = math.sqrt(max(2.0 - 2.0 * threshold, 0.0))
-    return (
-        lsh.approxSimilarityJoin(unit, unit, max_dist, distCol="d")
-        .where(F.col("datasetA.vid") < F.col("datasetB.vid"))
-        .select(
-            F.col("datasetA.vid").alias("vec_a"),
-            F.col("datasetB.vid").alias("vec_b"),
-            (1.0 - F.col("d") * F.col("d") / 2.0).alias("cosine"),
+
+    dim = _embedding_dim(embeddings)
+    if dim is None:
+        return (
+            embeddings.limit(0)
+            .select(
+                F.col(id_col).alias("vec_a"),
+                F.col(id_col).alias("vec_b"),
+                F.lit(0.0).alias("cosine"),
+            )
         )
+    projections = _rp_projections(dim, num_hash_tables, seed)
+    b = _rp_bucket_entries(embeddings, id_col, "vid", projections, bucket_length)
+    cand = (
+        b.select("t", "b", F.col("vid").alias("vec_a"))
+        .join(b.select("t", "b", F.col("vid").alias("vec_b")), ["t", "b"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    v = embeddings.select(F.col(id_col).alias("vid"), "embedding")
+    return (
+        cand.join(
+            v.select(F.col("vid").alias("vec_a"), F.col("embedding").alias("e_a")),
+            "vec_a",
+        )
+        .join(
+            v.select(F.col("vid").alias("vec_b"), F.col("embedding").alias("e_b")),
+            "vec_b",
+        )
+        .select(
+            "vec_a", "vec_b", _exact_cosine("e_a", "e_b", dim).alias("cosine")
+        )
+        .where(F.col("cosine") >= threshold)
     )

@@ -12,6 +12,8 @@ training-data ANN requirement).
 
 from __future__ import annotations
 
+import math
+import random as _random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -19,6 +21,101 @@ _DOT = lambda a, b: F.aggregate(  # noqa: E731
     F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
 )
 _NORM = lambda a: F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# native random-projection LSH core (shared by lsh_topk and the embedding
+# near-dup path).  The MLlib BucketedRandomProjectionLSH machinery it
+# replaces cost a fixed ~2-4 s per call at ANY scale (vector-UDF distance,
+# un-codegen'd entry explode, model fit/broadcast); the same bucketing is
+# a handful of literal-projection dot products that stay inside
+# whole-stage codegen end to end — the minhash-native rewrite's playbook.
+# ---------------------------------------------------------------------------
+
+
+def _rp_projections(dim: int, num_tables: int, seed: int) -> list[list[float]]:
+    """``num_tables`` seeded gaussian random unit vectors — the hash
+    family h_t(v) = floor((v.r_t) / L) of BRP-LSH, deterministic per
+    (dim, num_tables, seed)."""
+    rnd = _random.Random(seed)
+    out = []
+    for _ in range(num_tables):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / nrm for x in v])
+    return out
+
+
+def _embedding_dim(df: DataFrame) -> int | None:
+    """Vector dim from one driver-side row (the array length is not in the
+    schema) — the same single-row job MLlib's ``LSH.fit`` ran; None for an
+    empty table."""
+    row = df.select("embedding").head()
+    if row is None or row[0] is None:
+        return None
+    return len(row[0])
+
+
+def _rp_bucket_entries(
+    df: DataFrame,
+    idc: str,
+    out_id: str,
+    projections: list[list[float]],
+    bucket_length: float,
+) -> DataFrame:
+    """(id, t, b): one row per (vector, hash table) with its bucket id —
+    the OR-amplified BRP entry table.  Buckets hash the UNIT vector
+    (floor((v.r)/(||v||*L))); zero-norm vectors are dropped (they can
+    never reach a positive cosine).  Only the id survives the explode —
+    the embedding payload is re-joined after candidate dedup.
+
+    Shape matters more than instruction count here: the projection matrix
+    rides as ONE array<array<double>> literal and the per-table dot is a
+    compact nested-HOF expression.  (A fully unrolled mul-add chain is
+    codegen-friendly per row but builds a dim x tables expression tree
+    that costs seconds of Catalyst/Janino time per PLAN — measured 9 s at
+    64 x 10 — dwarfing the runtime it saves.)  ``bind_once`` keeps the
+    norm evaluated once per row, not once per table."""
+    from ..functions.hofs import bind_once
+
+    proj_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in p]) for p in projections]
+    )
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    norm2 = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    buckets = bind_once(
+        emb,
+        lambda v: bind_once(
+            F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+            * F.lit(bucket_length),
+            lambda denom: F.transform(
+                proj_lit,
+                lambda p: F.floor(
+                    F.aggregate(
+                        F.zip_with(v, p, lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / denom
+                ),
+            ),
+        ),
+    )
+    return (
+        df.where(norm2 > 0)
+        .select(F.col(idc).alias(out_id), F.posexplode(buckets).alias("t", "b"))
+    )
+
+
+def _exact_cosine(a_col: str, b_col: str, dim: int | None = None):
+    """Guarded exact cosine between two array columns (compact HOF
+    expressions; the when-guard keeps ANSI division safe under filter
+    fusion)."""
+    a = F.transform(a_col, lambda x: x.cast("double"))
+    b = F.transform(b_col, lambda x: x.cast("double"))
+    dot = _DOT(a, b)
+    na, nb = _NORM(a), _NORM(b)
+    return dot / F.when(na * nb > 0, na * nb)
 
 
 def brute_force_topk(
@@ -70,65 +167,66 @@ def lsh_topk(
     candidate_distance: float = 1.3,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    seed: int = 11,
 ) -> DataFrame:
-    """ANN top-k: random-projection LSH on L2-normalized vectors (euclidean
-    distance on unit sphere is monotone in cosine: d^2 = 2 - 2cos), then
-    exact cosine re-score of candidates only.
+    """ANN top-k: NATIVE random-projection LSH — seeded literal projection
+    vectors hash the unit vector into ``floor((v.r_t)/(||v||*L))`` buckets
+    per table (OR-amplification across tables), candidates are a plain
+    (table, bucket) equi-join carrying ids only, then exact cosine
+    re-scores candidates (``cos >= 1 - candidate_distance^2 / 2``, the
+    unit-sphere euclidean gate).  Every stage is whole-stage codegen: no
+    MLlib fit, no vector UDF, no model broadcast — the ~2-4 s fixed
+    per-call cost of ``BucketedRandomProjectionLSH.approxSimilarityJoin``
+    is gone (measured; same playbook as the native banded minhash).
 
     ``bucket_length`` is sized for UNIT vectors: projections onto a random
     direction concentrate in ~[-3, 3]/sqrt(dim), so a bucket width of 2.0
     (the Spark-ML example default) collapses every vector into one or two
     buckets per table and the "blocking" join degenerates toward
     all-pairs; 0.25 keeps recall >= 0.99 on the shipped corpora while
-    actually pruning (measured)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    actually pruning (measured).
 
-    def unit(df, idc, out_id):
-        # zero-norm vectors are dropped up front — they can never reach any
-        # cosine threshold.  The divisor KEEPS the when-guard: Catalyst can
-        # merge this filter with the LSH transform's own hash-UDF predicate
-        # into one conjunct and evaluate the division on filtered-out rows,
-        # which under ANSI mode would raise DIVIDE_BY_ZERO; a NULL divisor
-        # is inert because the row is excluded anyway.
-        n = F.col("_n")
-        # only (id, features) survive: the raw embedding column would ride
-        # the 10x hash-explode and the candidate join as dead weight (the
-        # exact cosine is recovered from the euclidean distance d)
+    The vector dim comes from one driver-side row (the same single-row job
+    MLlib's ``fit`` ran); an empty corpus short-circuits to an empty
+    result."""
+    dim = _embedding_dim(embeddings)
+    if dim is None:
         return (
-            df.withColumn("_n", _NORM(F.col("embedding")))
-            .where(F.col("_n") > 0)
+            queries.limit(0)
+            .crossJoin(embeddings.limit(0))
             .select(
-                F.col(idc).alias(out_id),
-                array_to_vector(
-                    F.transform(
-                        "embedding",
-                        lambda x: F.coalesce(x / F.when(n > 0, n), F.lit(0.0)).cast("double"),
-                    )
-                ).alias("features"),
+                F.col(query_id_col).alias("query_id"),
+                F.col(id_col).alias("vec_id"),
+                F.lit(0.0).alias("cosine"),
+                F.lit(0).alias("rank"),
             )
         )
-
-    corpus = unit(embeddings, id_col, "vec_id")
-    q = unit(queries, query_id_col, "query_id")
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=11,
-    ).fit(corpus)
-    cand = lsh.approxSimilarityJoin(q, corpus, candidate_distance, distCol="d").select(
-        F.col("datasetA.query_id").alias("query_id"),
-        F.col("datasetB.vec_id").alias("vec_id"),
-        # exact cosine from euclidean on unit vectors: cos = 1 - d^2/2
-        (1.0 - F.col("d") * F.col("d") / 2.0).alias("cosine"),
+    projections = _rp_projections(dim, num_hash_tables, seed)
+    cb = _rp_bucket_entries(embeddings, id_col, "vec_id", projections, bucket_length)
+    qb = _rp_bucket_entries(queries, query_id_col, "query_id", projections, bucket_length)
+    cand = qb.join(cb, ["t", "b"]).select("query_id", "vec_id").distinct()
+    corpus_v = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col("embedding").alias("c_emb")
+    )
+    q_v = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    min_cos = 1.0 - candidate_distance * candidate_distance / 2.0
+    scored = (
+        cand.join(q_v, "query_id")
+        .join(corpus_v, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _exact_cosine("q_emb", "c_emb", dim).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cos)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
