@@ -124,3 +124,37 @@ def test_graph_table_subject_reads_prune_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "subj_bucket" in plan
     summary = {r["pred"]: r for r in spark.read.parquet(paths["predicate_summary"]).collect()}
     assert summary["Association"]["n_edges"] == 100
+
+
+def test_native_lsh_plan_is_pure_jvm(spark, sf_dir):
+    """The native random-projection LSH must plan with zero Python (no
+    BatchEvalPython, no MapInPandas, no MLlib vector UDF) and block
+    candidates through a real equi-join on (table, bucket)."""
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = lsh_topk(emb, q, k=5)
+    plan = _plan(df)
+    for absent in ("BatchEvalPython", "MapInPandas", "PythonUDF"):
+        assert absent not in plan, (absent, plan)
+    # the bucket join is an equi-join (hash or sort-merge), not a
+    # cartesian/nested-loop product
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert any(j in plan for j in ("HashJoin", "SortMergeJoin")), plan
+
+
+def test_native_embedding_dedup_plan_is_pure_jvm(spark, sf_dir):
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.95, method="lsh"))
+    for absent in ("BatchEvalPython", "MapInPandas", "PythonUDF",
+                   "CartesianProduct", "NestedLoop"):
+        assert absent not in plan, (absent, plan)
