@@ -404,6 +404,17 @@ def q_eval_aggregate(spark, sf_dir):
     )
 
 
+def q_eval_cube(spark, sf_dir):
+    """SURVEY §2.13's hand-rolled 3-D reporting cube as ONE cube()
+    aggregation (every marginal from a single shuffle); DuckDB re-derives
+    with GROUP BY CUBE + GROUPING() over the same per_doc snapshot."""
+    from relation_extraction_using_llms_spark.operators.aggregate import eval_cube
+
+    return eval_cube(
+        spark.read.parquet(_stage_snapshots(spark, sf_dir)["per_doc"])
+    )
+
+
 def q_model_ranking(spark, sf_dir):
     from relation_extraction_using_llms_spark.operators.aggregate import model_ranking
 
@@ -1276,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_per_doc": q_eval_per_doc,
         "eval_aggregate": q_eval_aggregate,
         "model_ranking": q_model_ranking,
+        "eval_cube": q_eval_cube,
         "canonical_triples": q_canonical_triples,
         "eval_all_strategies": q_eval_all_strategies,
         "all_strategies_consistency": q_all_strategies_consistency,
@@ -1916,6 +1928,19 @@ def _snapshot_oracles() -> dict[str, str]:
                    + CASE WHEN head_ok AND tail_ok THEN CAST(0.1 AS DOUBLE)
                           ELSE CAST(0.0 AS DOUBLE) END), 6) AS confidence
         FROM f
+    """
+
+    out["eval_cube"] = f"""
+        SELECT technique, model, strategy, with_types,
+               CAST(GROUPING(technique, model, strategy, with_types)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tp) AS BIGINT) AS total_tp,
+               CAST(sum(fp) AS BIGINT) AS total_fp,
+               CAST(sum(fn) AS BIGINT) AS total_fn,
+               round(avg(f1_score), 6) AS macro_f1
+        FROM {snap('per_doc')}
+        GROUP BY CUBE (technique, model, strategy, with_types)
     """
 
     out["resolve_exact_stage"] = f"""

@@ -188,3 +188,29 @@ def best_configuration(agg: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def eval_cube(per_doc: DataFrame) -> DataFrame:
+    """Every summary granularity of the reference's hand-rolled 3-D
+    reporting loops (main.py:299-627 iterates strategy x with_types x
+    combo in separate passes; SURVEY §2.13 flags it as a cube) in ONE
+    ``cube()`` aggregation: per-(technique, model, strategy, with_types)
+    rows plus every marginal — per-strategy, per-model, grand total —
+    from a single shuffle with map-side partial aggregation.
+
+    ``gid`` is ``grouping_id()`` (bit i set = dimension i aggregated
+    out), disambiguating a NULL dimension value from a rolled-up one.
+    Counts are map-side-combinable sums; macro_f1 is the mean of per-doc
+    f1 over the rows in each cell.
+    """
+    return (
+        per_doc.cube("technique", "model", "strategy", "with_types")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tp").cast("long").alias("total_tp"),
+            F.sum("fp").cast("long").alias("total_fp"),
+            F.sum("fn").cast("long").alias("total_fn"),
+            F.round(F.avg("f1_score"), 6).alias("macro_f1"),
+        )
+    )

@@ -248,3 +248,31 @@ def test_full_catalog_order_key_adversarial_urls(spark):
     assert fused["E1"]["canonical_name"] == "early"
     assert fused["E1"]["entity_type"] == "TypeEarly"
     assert fused["E2"]["canonical_name"] == "first"
+
+
+def test_eval_cube_marginals_consistent(spark, sf_dir):
+    """eval_cube's finest cells must match a plain groupBy, and every
+    marginal must sum consistently (grand total = sum of per-strategy
+    totals); gid disambiguates rolled-up dimensions."""
+    import __spark_entry__ as entry_mod
+    import pyspark.sql.functions as F
+
+    rows = entry_mod.queries()["eval_cube"](spark, sf_dir).collect()
+    assert rows
+    finest = [r for r in rows if r["gid"] == 0]
+    grand = [r for r in rows if r["gid"] == 15]
+    assert len(grand) == 1
+    assert all(
+        r["technique"] is None and r["strategy"] is None for r in grand
+    )
+    assert sum(r["total_tp"] for r in finest) == grand[0]["total_tp"]
+    assert sum(r["n_docs"] for r in finest) == grand[0]["n_docs"]
+    # per-strategy marginal (technique/model/with_types rolled up:
+    # bits for technique, model, with_types set)
+    per_strategy = [
+        r for r in rows
+        if r["strategy"] is not None and r["technique"] is None
+        and r["model"] is None and r["with_types"] is None
+    ]
+    assert per_strategy
+    assert sum(r["total_fn"] for r in per_strategy) == grand[0]["total_fn"]
