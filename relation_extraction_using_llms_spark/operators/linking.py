@@ -711,15 +711,20 @@ def resolve_global_lsh(
     jaccard_distance: float = 0.6,
 ):
     """mentions(url?, mention) -> (mention, entity_id) via exact join,
-    then MinHash-LSH candidate blocking on character-shingle sets, then the
-    cascade kernel over candidates only.
+    then NATIVE banded-minhash candidate blocking on character-shingle
+    sets, then the cascade kernel over candidates only.
 
     Stage A (exact): equi-join on lowered form — a plain shuffle hash join.
-    Stage B (blocked fuzzy): ``MinHashLSH.approxSimilarityJoin`` between
-    distinct unresolved mentions and catalog surface forms, re-scored by
+    Stage B (blocked fuzzy): bipartite banded minhash between distinct
+    unresolved mentions and catalog surface forms (the dedup playbook —
+    ``minhash_lsh_pairs``: shingle -> xxhash64 set, per-band min-hash,
+    (band, bsig) equi-join, EXACT Jaccard recheck), re-scored by
     ``_similarity_score``; best score wins, creation order breaks ties.
+    Fit-free, whole-stage codegen end to end — replaces the former
+    HashingTF + ``MinHashLSH.approxSimilarityJoin`` (a fit pass + an
+    un-codegen'd join, with jaccard approximated through a 2^18 feature
+    space; the native recheck is exact over 64-bit shingle hashes).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -761,11 +766,11 @@ def resolve_global_lsh(
         ).alias("name"),
     ).where(F.length("name") > 0)
 
-    def with_features(df, text_col):
-        # char 3-gram shingles as a pure column expression (JVM-side).
-        # The normalized text is let-bound so the regexp_replace runs once
-        # per row, not once per shingle (interpreted HOFs have no CSE —
-        # see functions/hofs.py)
+    def with_shingle_hashes(df, text_col):
+        # char 3-gram shingles as a pure column expression (JVM-side),
+        # hashed to 64-bit ints.  The normalized text is let-bound so the
+        # regexp_replace runs once per row, not once per shingle
+        # (interpreted HOFs have no CSE — see functions/hofs.py)
         from ..functions.hofs import bind_once
 
         shingles = bind_once(
@@ -777,36 +782,63 @@ def resolve_global_lsh(
                 )
             ),
         )
-        out = df.withColumn("__shingles", F.filter(shingles, lambda s: F.length(s) > 0))
-        return out.where(F.size("__shingles") > 0)
+        out = df.withColumn(
+            "__hs",
+            F.transform(
+                F.filter(shingles, lambda s: F.length(s) > 0),
+                lambda s: F.xxhash64(s),
+            ),
+        )
+        return out.where(F.size("__hs") > 0)
 
-    m_feat = with_features(unresolved.withColumn("mtext", F.col("mention")), "mtext")
-    c_feat = with_features(cat_names.withColumn("ctext", F.col("name")), "ctext")
+    m_sh = with_shingle_hashes(unresolved, "mention")
+    c_sh = with_shingle_hashes(cat_names, "name")
 
-    # Stateless feature hashing — no driver-side vocabulary fit (the char
-    # 3-gram space is bounded, but hashing removes the extra data pass and
-    # keeps this path fit-free end to end)
-    htf = HashingTF(
-        inputCol="__shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    def banded(df, keep_cols):
+        # band explodes FIRST (Generate = projection-collapse barrier), so
+        # the shingle pipeline runs once per row, not once per band — the
+        # 131s-vs-7s trap documented on minhash_lsh_pairs
+        return df.select(
+            *keep_cols,
+            "__hs",
+            F.explode(F.sequence(F.lit(0), F.lit(num_hash_tables - 1))).alias(
+                "band"
+            ),
+        ).select(
+            *keep_cols,
+            "band",
+            F.array_min(
+                F.transform("__hs", lambda h: F.xxhash64(h, F.col("band")))
+            ).alias("bsig"),
+        )
+
+    cand = (
+        banded(m_sh, ["mention"])
+        .join(banded(c_sh, ["entity_id", "name"]), ["band", "bsig"])
+        .select("mention", "entity_id", "name")
+        .distinct()
     )
-    # rows already have >=1 shingle, so hashed vectors are non-zero (the
-    # MinHashLSH requirement) — no extra filter pass needed
-    m_vec = htf.transform(m_feat)
-    c_vec = htf.transform(c_feat)
-
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=7
+    # shingle sets join back at candidate grain; exact Jaccard recheck
+    # mirrors MLlib's `jdist <= jaccard_distance` gate (j >= 1 - d)
+    with_sets = cand.join(
+        m_sh.select("mention", F.col("__hs").alias("ha")), "mention"
+    ).join(
+        c_sh.select("entity_id", "name", F.col("__hs").alias("hb")),
+        ["entity_id", "name"],
     )
-    lsh_model = lsh.fit(m_vec)
-    pairs = lsh_model.approxSimilarityJoin(
-        m_vec, c_vec, jaccard_distance, distCol="jdist"
-    ).select(
-        F.col("datasetA.mention").alias("mention"),
-        F.col("datasetB.entity_id").alias("entity_id"),
-        F.col("datasetB.canonical_name").alias("canonical_name"),
-        F.col("datasetB.common_mentions").alias("common_mentions"),
-        F.col("datasetB.created_ord").alias("created_ord"),
-    ).dropDuplicates(["mention", "entity_id"])
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
+    pairs = (
+        with_sets.where(inter / union >= 1.0 - jaccard_distance)
+        .select("mention", "entity_id")
+        .distinct()
+        .join(
+            linking_catalog_df.select(
+                "entity_id", "canonical_name", "common_mentions", "created_ord"
+            ),
+            "entity_id",
+        )
+    )
 
     # Re-score candidates with the reference kernel (vectorized pandas UDF).
     import pandas as pd  # noqa: F811

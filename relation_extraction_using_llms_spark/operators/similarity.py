@@ -3,8 +3,8 @@ training-data ANN requirement).
 
   brute_force_topk   exact cosine top-k per query (zip_with/aggregate dot
                      products — JVM-side higher-order functions, no Python)
-  lsh_topk           BucketedRandomProjectionLSH-blocked candidates on unit
-                     vectors + exact re-score: the 10^12-scale path
+  lsh_topk           native random-projection-LSH-blocked candidates on
+                     unit vectors + exact re-score: the 10^12-scale path
   rag_context        top-k snippets per document for the RAG prompter
                      (vector_store.py:188-243 semantics: query = first 1000
                      chars; here the retrieval index is the embeddings table)
