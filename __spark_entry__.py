@@ -298,6 +298,52 @@ def q_parse_confidence(spark, sf_dir):
     )
 
 
+def _clean_json_resp_snapshot(spark, sf_dir) -> str:
+    """Responses whose shape is STRUCTURALLY clean JSON — bare array,
+    ``{"relations": ...}`` object, or a single ```json fence — selected by
+    a predicate both engines express identically.  The messy tail (prose
+    wrapping, arrow-line fallback, empty-response prose) stays with the
+    rows-only ``parse_triples``."""
+    from relation_extraction_using_llms_spark.sources.synthetic import (
+        stub_responses_df,
+    )
+
+    resp = stub_responses_df(spark, sf_dir, ["IO"], ["stub-large"])
+    pred = (
+        F.col("response").startswith("[")
+        | F.col("response").startswith('{"relations":')
+        | (
+            F.col("response").startswith("```json\n")
+            & F.col("response").endswith("\n```")
+        )
+    )
+    return _snapshot(
+        resp.where(pred).select("url", "technique", "model", "response"),
+        "clean_json_responses",
+        sf_dir,
+    )
+
+
+def q_parse_clean_json(spark, sf_dir):
+    """X1/X2 oracled on the clean-JSON subset: the PRODUCTION parser
+    (fence -> balanced-slice -> JSON explode, validation skipped via null
+    text) over the snapshot; DuckDB re-derives rows/order/keep-filter with
+    its JSON functions.  Together with ``parse_confidence`` (X5/X6) this
+    leaves only the balanced-brace/arrow-fallback tail rows-only."""
+    from relation_extraction_using_llms_spark.functions.parsing import (
+        parsed_triples_df,
+    )
+
+    snap = spark.read.parquet(_clean_json_resp_snapshot(spark, sf_dir))
+    raw = parsed_triples_df(
+        snap.withColumn("text", F.lit(None).cast("string"))
+    )
+    return raw.select(
+        "url", "technique", "pred_index",
+        "head_mention", "tail_mention", "relation_type",
+    )
+
+
 def q_resolved_triples(spark, sf_dir):
     resolved = spark.read.parquet(_stage_snapshots(spark, sf_dir)["resolved"])
     return resolved.select(
@@ -1282,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_catalog": q_entity_catalog,
         "parse_triples": q_parse_triples,
         "parse_confidence": q_parse_confidence,
+        "parse_clean_json": q_parse_clean_json,
         "resolved_triples": q_resolved_triples,
         "resolve_exact_stage": q_resolve_exact_stage,
         "eval_per_doc": q_eval_per_doc,
@@ -1928,6 +1975,43 @@ def _snapshot_oracles() -> dict[str, str]:
                    + CASE WHEN head_ok AND tail_ok THEN CAST(0.1 AS DOUBLE)
                           ELSE CAST(0.0 AS DOUBLE) END), 6) AS confidence
         FROM f
+    """
+
+    out["parse_clean_json"] = f"""
+        WITH j AS (
+          SELECT url, technique,
+                 CASE WHEN response LIKE '```json' || chr(10) || '%'
+                      THEN substr(response, 9, length(response) - 12)
+                      ELSE response END AS body
+          FROM {snap('clean_json_responses')}
+        ), arrs AS (
+          SELECT url, technique,
+                 CASE WHEN json_type(body) = 'ARRAY' THEN body::JSON
+                      ELSE json_extract(body, '$.relations') END AS arr
+          FROM j
+        ), el AS (
+          SELECT url, technique,
+                 unnest(json_extract(arr, '$[*]')) AS elem,
+                 generate_subscripts(json_extract(arr, '$[*]'), 1) AS idx
+          FROM arrs
+        ), parsed AS (
+          SELECT url, technique, idx,
+                 trim(coalesce(json_extract_string(elem, '$.head_mention'),
+                               ''), {ws}) AS head_mention,
+                 trim(coalesce(json_extract_string(elem, '$.tail_mention'),
+                               ''), {ws}) AS tail_mention,
+                 trim(coalesce(json_extract_string(elem, '$.relation_type'),
+                               ''), {ws}) AS relation_type
+          FROM el
+        )
+        SELECT url, technique,
+               CAST(row_number() OVER (PARTITION BY url, technique
+                                       ORDER BY idx) - 1 AS INT)
+                   AS pred_index,
+               head_mention, tail_mention, relation_type
+        FROM parsed
+        WHERE head_mention <> '' AND tail_mention <> ''
+              AND relation_type <> ''
     """
 
     out["eval_cube"] = f"""
