@@ -168,6 +168,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: NATIVE random-projection LSH — seeded literal projection
     vectors hash the unit vector into ``floor((v.r_t)/(||v||*L))`` buckets
@@ -186,10 +187,13 @@ def lsh_topk(
     all-pairs; 0.25 keeps recall >= 0.99 on the shipped corpora while
     actually pruning (measured).
 
-    The vector dim comes from one driver-side row (the same single-row job
-    MLlib's ``fit`` ran); an empty corpus short-circuits to an empty
+    Pass ``dim`` when the embedding width is known (e.g. from the
+    embedder that produced the column) to keep the call fully lazy;
+    otherwise it comes from one driver-side row (the same single-row job
+    MLlib's ``fit`` ran).  An empty corpus short-circuits to an empty
     result."""
-    dim = _embedding_dim(embeddings)
+    if dim is None:
+        dim = _embedding_dim(embeddings)
     if dim is None:
         return (
             queries.limit(0)
@@ -335,6 +339,7 @@ def rag_context_ann(
     embedder=None,
     candidate_distance: float = 1.4,
     num_hash_tables: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """(url, context) for the RAG prompter through the SAME ANN machinery
     the engine ships (north_star RAG path): embed snippets and truncated
@@ -361,6 +366,12 @@ def rag_context_ann(
         s.select(F.col("snippet_id").alias("doc_key"), F.col("snippet").alias("text")),
         embedder,
     ).select(F.col("doc_key").alias("vec_id"), "embedding")
+    # with the default hash embedder the width is known (64), so
+    # lsh_topk never runs its one-row dim-discovery job — that head()
+    # would execute the embedding UDF DAG at PLAN time, mid-pipeline; a
+    # custom embedder either passes dim explicitly or pays the probe
+    if dim is None and embedder is None:
+        dim = 64  # embed_df's default_embedder width
     top = lsh_topk(
         s_emb,
         q_emb,
@@ -369,6 +380,7 @@ def rag_context_ann(
         query_id_col="query_id",
         candidate_distance=candidate_distance,
         num_hash_tables=num_hash_tables,
+        dim=dim,
     )
     ctx = (
         top.join(s, top.vec_id == s.snippet_id)

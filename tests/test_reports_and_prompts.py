@@ -181,3 +181,26 @@ def test_rag_pipeline_ann_retrieval_mode(spark, sf_dir):
         F.col("prompt").contains("Retrieved context")
     ).count()
     assert n_with_ctx > 0
+
+
+def test_rag_context_ann_plan_is_lazy(spark):
+    """With the default embedder, rag_context_ann must not run any job at
+    plan-construction time (the dim-discovery head() is skipped): building
+    the context DataFrame over a poisoned upstream DAG must not raise."""
+    import pytest
+
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        rag_context_ann,
+    )
+
+    def boom(batches):
+        raise RuntimeError("upstream DAG executed during planning")
+        yield  # pragma: no cover
+
+    poisoned = spark.range(4).mapInPandas(boom, schema="url string, text string")
+    snippets = spark.createDataFrame(
+        [("s1", "alpha beta")], "doc_id string, text string"
+    )
+    ctx = rag_context_ann(poisoned, snippets, k=1)  # must not raise
+    with pytest.raises(Exception, match="upstream DAG executed"):
+        ctx.count()
