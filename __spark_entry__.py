@@ -344,6 +344,35 @@ def q_parse_clean_json(spark, sf_dir):
     )
 
 
+def _clean_json_with_text_snapshot(spark, sf_dir) -> str:
+    """(url, technique, response, text): the error-channel operator's
+    input — the clean-JSON response subset joined with the extracted
+    document text."""
+    from relation_extraction_using_llms_spark.functions.extraction import clean_text_df
+    from relation_extraction_using_llms_spark.sources.synthetic import pages_df
+
+    snap = spark.read.parquet(_clean_json_resp_snapshot(spark, sf_dir))
+    clean = clean_text_df(pages_df(spark, sf_dir)).select("url", "text")
+    return _snapshot(
+        snap.select("url", "technique", "response").join(clean, "url"),
+        "clean_json_with_text",
+        sf_dir,
+    )
+
+
+def q_parse_errors(spark, sf_dir):
+    """The parser's ERROR side-channel (X1/X5 error rows) on the
+    clean-JSON subset: 'No JSON found' rows for empty bare/fenced arrays
+    (parser.py falls through every pattern on falsy parses) and
+    'Invalid relation: h -> t (type): head/tail not found in source text'
+    validation rows.  DuckDB re-derives both the trigger conditions and
+    the exact formatted strings from the same snapshot."""
+    from relation_extraction_using_llms_spark.functions.parsing import parse_errors_df
+
+    snap = spark.read.parquet(_clean_json_with_text_snapshot(spark, sf_dir))
+    return parse_errors_df(snap.select("url", "response", "text"))
+
+
 def q_resolved_triples(spark, sf_dir):
     resolved = spark.read.parquet(_stage_snapshots(spark, sf_dir)["resolved"])
     return resolved.select(
@@ -1329,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_triples": q_parse_triples,
         "parse_confidence": q_parse_confidence,
         "parse_clean_json": q_parse_clean_json,
+        "parse_errors": q_parse_errors,
         "resolved_triples": q_resolved_triples,
         "resolve_exact_stage": q_resolve_exact_stage,
         "eval_per_doc": q_eval_per_doc,
@@ -2012,6 +2042,67 @@ def _snapshot_oracles() -> dict[str, str]:
         FROM parsed
         WHERE head_mention <> '' AND tail_mention <> ''
               AND relation_type <> ''
+    """
+
+    out["parse_errors"] = f"""
+        WITH j AS (
+          SELECT url, response, text,
+                 CASE WHEN response LIKE '```json' || chr(10) || '%'
+                      THEN substr(response, 9, length(response) - 12)
+                      ELSE response END AS body
+          FROM {snap('clean_json_with_text')}
+        ), arrs AS (
+          SELECT url, response, text,
+                 CASE WHEN json_type(body) = 'ARRAY' THEN body::JSON
+                      ELSE json_extract(body, '$.relations') END AS arr
+          FROM j
+        ), parse_errs AS (
+          -- bare/fenced EMPTY arrays fall through every parser pattern
+          -- ([] parses falsy); the relations-object shape does not
+          SELECT url, 'parse' AS stage,
+                 'No JSON found, attempting text parsing' AS error
+          FROM arrs
+          WHERE response NOT LIKE '{{%' AND json_array_length(arr) = 0
+        ), el AS (
+          SELECT url, text, unnest(json_extract(arr, '$[*]')) AS elem
+          FROM arrs
+        ), parsed AS (
+          SELECT url, text,
+                 trim(coalesce(json_extract_string(elem, '$.head_mention'),
+                               ''), {ws}) AS head_mention,
+                 trim(coalesce(json_extract_string(elem, '$.tail_mention'),
+                               ''), {ws}) AS tail_mention,
+                 trim(coalesce(json_extract_string(elem, '$.relation_type'),
+                               ''), {ws}) AS relation_type
+          FROM el
+        ), n AS (
+          SELECT url, head_mention, tail_mention, relation_type, text,
+                 lower(text) AS x_low,
+                 {alnum.format('head_mention')} AS h_norm,
+                 {alnum.format('tail_mention')} AS t_norm,
+                 {alnum.format('text')} AS x_norm
+          FROM parsed
+          WHERE head_mention <> '' AND tail_mention <> ''
+                AND relation_type <> ''
+        ), f AS (
+          SELECT url, head_mention, tail_mention, relation_type,
+                 {_mention_flags('head_mention', 'head', 'h_norm')},
+                 {_mention_flags('tail_mention', 'tail', 't_norm')}
+          FROM n
+        ), val_errs AS (
+          SELECT url, 'validate' AS stage,
+                 CASE WHEN NOT head_ok
+                      THEN 'Invalid relation: ' || head_mention || ' -> '
+                           || tail_mention || ' (' || relation_type
+                           || '): head not found in source text'
+                      WHEN NOT tail_ok
+                      THEN 'Invalid relation: ' || head_mention || ' -> '
+                           || tail_mention || ' (' || relation_type
+                           || '): tail not found in source text'
+                 END AS error
+          FROM f WHERE (NOT head_ok) OR (NOT tail_ok)
+        )
+        SELECT * FROM parse_errs UNION ALL SELECT * FROM val_errs
     """
 
     out["eval_cube"] = f"""
