@@ -435,7 +435,7 @@ def _embedding_near_dup_lsh(
             "vec_b",
         )
         .select(
-            "vec_a", "vec_b", _exact_cosine("e_a", "e_b", dim).alias("cosine")
+            "vec_a", "vec_b", _exact_cosine("e_a", "e_b").alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
     )

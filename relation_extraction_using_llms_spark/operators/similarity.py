@@ -75,7 +75,13 @@ def _rp_bucket_entries(
     codegen-friendly per row but builds a dim x tables expression tree
     that costs seconds of Catalyst/Janino time per PLAN — measured 9 s at
     64 x 10 — dwarfing the runtime it saves.)  ``bind_once`` keeps the
-    norm evaluated once per row, not once per table."""
+    norm evaluated once per row, not once per table.
+
+    Rows whose embedding is shorter than the projection dim produce NULL
+    bucket ids (``zip_with`` pads the missing tail with nulls, which
+    poison the dot sum), and a null bucket never matches an equi-join —
+    a ragged table silently degrades to fewer candidates rather than
+    erroring (MLlib threw)."""
     from ..functions.hofs import bind_once
 
     proj_lit = F.array(
@@ -107,7 +113,7 @@ def _rp_bucket_entries(
     )
 
 
-def _exact_cosine(a_col: str, b_col: str, dim: int | None = None):
+def _exact_cosine(a_col: str, b_col: str):
     """Guarded exact cosine between two array columns (compact HOF
     expressions; the when-guard keeps ANSI division safe under filter
     fusion)."""
@@ -222,7 +228,7 @@ def lsh_topk(
         .select(
             "query_id",
             "vec_id",
-            _exact_cosine("q_emb", "c_emb", dim).alias("cosine"),
+            _exact_cosine("q_emb", "c_emb").alias("cosine"),
         )
         .where(F.col("cosine") >= min_cos)
     )
