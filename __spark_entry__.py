@@ -438,6 +438,42 @@ def q_resolve_exact_stage(spark, sf_dir):
     return sites.join(stage1, ["url", "mention"], "left_semi")
 
 
+def q_resolve_membership(spark, sf_dir):
+    """Integrity derivation over ALL resolved sites (covers the fuzzy
+    tail the exact-stage oracle does not): every non-null resolved
+    entity_id must be a member entity of its own document — the cascade's
+    per-document candidate restriction.  One summary row; the violation
+    count is value-hashed, so a green row certifies zero."""
+    snaps = _stage_snapshots(spark, sf_dir)
+    resolved = spark.read.parquet(snaps["resolved"])
+    memb = spark.read.parquet(_ents_input_snapshot(spark, sf_dir)).select(
+        "url", "entity_id"
+    )
+    sites = (
+        resolved.select("url", F.col("head_id").alias("entity_id"))
+        .unionByName(resolved.select("url", F.col("tail_id").alias("entity_id")))
+        .distinct()
+    )
+    n_sites = F.count(F.lit(1)).alias("n_sites")
+    resolved_sites = sites.where(F.col("entity_id").isNotNull())
+    member = resolved_sites.join(memb, ["url", "entity_id"], "left_semi")
+    a = sites.agg(n_sites)
+    b = resolved_sites.agg(F.count(F.lit(1)).alias("n_resolved"))
+    c = member.agg(F.count(F.lit(1)).alias("n_member"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .select(
+            "n_sites",
+            "n_resolved",
+            "n_member",
+            (F.col("n_resolved") - F.col("n_member")).alias(
+                "membership_violations"
+            ),
+        )
+    )
+
+
 def q_eval_per_doc(spark, sf_dir):
     """Q1-Q6 per-doc metrics; the oracle re-derives every column (incl. the
     set-algebra graph edit distance) from the counts/resolved/gold
@@ -1361,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_errors": q_parse_errors,
         "resolved_triples": q_resolved_triples,
         "resolve_exact_stage": q_resolve_exact_stage,
+        "resolve_membership": q_resolve_membership,
         "eval_per_doc": q_eval_per_doc,
         "eval_aggregate": q_eval_aggregate,
         "model_ranking": q_model_ranking,
@@ -2116,6 +2153,28 @@ def _snapshot_oracles() -> dict[str, str]:
                round(avg(f1_score), 6) AS macro_f1
         FROM {snap('per_doc')}
         GROUP BY CUBE (technique, model, strategy, with_types)
+    """
+
+    out["resolve_membership"] = f"""
+        WITH sites AS (
+          SELECT DISTINCT url, entity_id FROM (
+            SELECT url, head_id AS entity_id FROM {snap('resolved')}
+            UNION ALL
+            SELECT url, tail_id FROM {snap('resolved')}
+          )
+        ), memb AS (
+          SELECT DISTINCT url, entity_id
+          FROM {snap('gold_entities_input')}
+        ), r AS (
+          SELECT * FROM sites WHERE entity_id IS NOT NULL
+        ), m AS (
+          SELECT r.* FROM r JOIN memb USING (url, entity_id)
+        )
+        SELECT CAST((SELECT count(*) FROM sites) AS BIGINT) AS n_sites,
+               CAST((SELECT count(*) FROM r) AS BIGINT) AS n_resolved,
+               CAST((SELECT count(*) FROM m) AS BIGINT) AS n_member,
+               CAST((SELECT count(*) FROM r) - (SELECT count(*) FROM m)
+                    AS BIGINT) AS membership_violations
     """
 
     out["resolve_exact_stage"] = f"""
