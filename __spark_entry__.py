@@ -2045,15 +2045,23 @@ def _snapshot_oracles() -> dict[str, str]:
         """
 
     # banded simhash pairing re-derived from the signature snapshot:
-    # 16-bit bands, self-join, exact hamming via xor + bit_count.  The >>
-    # must be arithmetic-compatible with Spark's (both shift signed i64;
-    # masking with 65535 makes the band value sign-agnostic)
+    # 16-bit bands, hot-bucket cap (default 1000, mirroring the
+    # production skew guard), self-join, exact hamming via xor +
+    # bit_count.  The >> must be arithmetic-compatible with Spark's
+    # (both shift signed i64; masking with 65535 makes the band value
+    # sign-agnostic)
     out["dedup_simhash_banding"] = f"""
-        WITH banded AS (
+        WITH all_banded AS (
           SELECT doc_id, simhash, band,
                  (simhash >> (band * 16)) & 65535 AS band_val
           FROM {snap('simhash_signatures')},
                UNNEST(generate_series(0, 3)) AS u(band)
+        ), hot AS (
+          SELECT band, band_val FROM all_banded
+          GROUP BY 1, 2 HAVING count(*) > 1000
+        ), banded AS (
+          SELECT ab.* FROM all_banded ab
+          ANTI JOIN hot USING (band, band_val)
         ), cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sh_a, b.simhash AS sh_b
@@ -2173,17 +2181,20 @@ def _snapshot_oracles() -> dict[str, str]:
                       ELSE response END AS body
           FROM {snap('clean_json_with_text')}
         ), arrs AS (
-          SELECT url, response, text,
+          SELECT url, body, text,
                  CASE WHEN json_type(body) = 'ARRAY' THEN body::JSON
                       ELSE json_extract(body, '$.relations') END AS arr
           FROM j
         ), parse_errs AS (
           -- bare/fenced EMPTY arrays fall through every parser pattern
-          -- ([] parses falsy); the relations-object shape does not
+          -- ([] parses falsy).  Gate on the FENCE-STRIPPED body shape,
+          -- not the raw response prefix: a fenced relations-object with
+          -- an empty array strips to a truthy dict and does NOT error
+          -- in the production parser.
           SELECT url, 'parse' AS stage,
                  'No JSON found, attempting text parsing' AS error
           FROM arrs
-          WHERE response NOT LIKE '{{%' AND json_array_length(arr) = 0
+          WHERE json_type(body) <> 'OBJECT' AND json_array_length(arr) = 0
         ), el AS (
           SELECT url, text, unnest(json_extract(arr, '$[*]')) AS elem
           FROM arrs

@@ -149,7 +149,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     jaccard_threshold: float = 0.5,
-    max_docs_per_bucket: int | None = None,
+    max_docs_per_bucket: int | None = 1000,
     num_hash_tables: int | None = None,
 ) -> DataFrame:
     """Approximate duplicate pairs via native banded MinHash
@@ -171,13 +171,17 @@ def minhash_lsh_pairs(
         64-bit-hashed shingle sets (collision odds ~|shingles|^2 / 2^64,
         negligible — tighter than a 2^20 feature space)
 
-    ``max_docs_per_bucket`` (optional) drops band buckets larger than the
-    cap — the skew guard for web-scale corpora where a boilerplate
-    signature could bucket millions of docs (collapse byte-identical
-    texts with ``exact_duplicates`` FIRST; a capped bucket only loses
-    pairs whose every shared band is boilerplate-hot, mirroring the
-    ``ngram_jaccard_pairs`` stop-phrase guard).  ``num_hash_tables`` is a
-    back-compat alias for ``num_hashes``."""
+    ``max_docs_per_bucket`` drops band buckets larger than the cap — the
+    skew guard for web-scale corpora where a boilerplate signature could
+    bucket millions of docs and make the self-join quadratic IN THE
+    BUCKET.  It defaults ON (1000: ≤ ~500k candidate rows per hot
+    bucket) so the public API is safe-by-default at 100 TB; collapse
+    byte-identical texts with ``exact_duplicates`` FIRST.  A capped
+    bucket only loses pairs whose EVERY shared band is boilerplate-hot,
+    mirroring the ``ngram_jaccard_pairs`` stop-phrase guard; pass
+    ``max_docs_per_bucket=None`` for exhaustive banding (and to audit
+    what a cap would drop).  ``num_hash_tables`` is a back-compat alias
+    for ``num_hashes``."""
     if num_hash_tables is not None:
         num_hashes = num_hash_tables
     hashed = documents.select(
@@ -271,11 +275,21 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def simhash_pairs_from_signatures(
-    sig: DataFrame, hamming_threshold: int = 3, n_bands: int = 4
+    sig: DataFrame,
+    hamming_threshold: int = 3,
+    n_bands: int = 4,
+    max_docs_per_bucket: int | None = 1000,
 ) -> DataFrame:
     """Banded pairing over (doc_id, simhash) signatures: a pair within
     hamming distance k <= n_bands-1 shares at least one identical band;
-    exact hamming re-check via xor popcount."""
+    exact hamming re-check via xor popcount.
+
+    ``max_docs_per_bucket`` (default 1000) drops oversized (band, value)
+    buckets before the self-join — the same safe-by-default skew guard as
+    ``minhash_lsh_pairs``: at web scale a boilerplate band value buckets
+    millions of docs and the join goes quadratic in the bucket.  A capped
+    pair is lost only when ALL of its shared bands are boilerplate-hot;
+    pass ``None`` for exhaustive banding."""
     band_size = 64 // n_bands
     banded = sig.select(
         "doc_id",
@@ -285,6 +299,14 @@ def simhash_pairs_from_signatures(
         "band_val",
         F.expr(f"(simhash >> (band * {band_size})) & {(1 << band_size) - 1}"),
     )
+    if max_docs_per_bucket is not None:
+        hot = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_docs_per_bucket)
+            .select("band", "band_val")
+        )
+        banded = banded.join(hot, ["band", "band_val"], "left_anti")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "band_val"])
@@ -303,13 +325,20 @@ def simhash_pairs_from_signatures(
 
 
 def simhash_pairs(
-    documents: DataFrame, hamming_threshold: int = 3, n_bands: int = 4
+    documents: DataFrame,
+    hamming_threshold: int = 3,
+    n_bands: int = 4,
+    max_docs_per_bucket: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprint from token hashes, banded
     join, exact hamming re-check via xor popcount (signature + pairing
-    stages composed)."""
+    stages composed; see ``simhash_pairs_from_signatures`` for the
+    safe-by-default bucket cap)."""
     return simhash_pairs_from_signatures(
-        simhash_signatures(documents), hamming_threshold, n_bands
+        simhash_signatures(documents),
+        hamming_threshold,
+        n_bands,
+        max_docs_per_bucket,
     )
 
 
@@ -319,6 +348,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     method: str = "auto",
     max_exact_rows: int = 200_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
@@ -326,34 +356,45 @@ def embedding_near_dup_pairs(
     reference semantics — O(n^2), fine to ~10^5 rows).  ``method="lsh"`` is
     the scale path: random-projection LSH blocking on unit vectors + exact
     cosine on candidates only.  The default ``"auto"`` routes from
-    OPTIMIZER STATISTICS (a row-count upper bound; never a job, so the
-    call stays fully lazy even over a live UDF DAG) so the public API is
-    never an accidental 10^12-row crossJoin; the 5 B/row compression floor
-    is safe here because embedding rows are high-entropy float arrays that
-    cannot compress anywhere near it, so the estimate only OVERSHOOTS —
-    i.e. auto can only err toward the scale-safe LSH path.  Because LSH
-    recall is < 1, that switch is surfaced as a warning — callers needing
-    exhaustive pairs must pin ``method="exact"`` explicitly."""
-    if method == "auto":
-        from .linking import _estimated_rows
+    OPTIMIZER STATISTICS — the routing decision itself is never a job.
+    The exact path is taken only on a CONFIDENT small estimate (exact
+    counts, or the byte-floor bound over a scan-shaped plan, which can
+    only overshoot — see ``linking._estimated_rows_ex``); an unconfident
+    estimate (e.g. a live UDF DAG, whose child-derived sizeInBytes can
+    undershoot arbitrarily) always routes to the scale-safe LSH blocking,
+    so the public API is never an accidental 10^12-row crossJoin.
+    Because LSH recall is < 1, that switch is surfaced as a warning —
+    callers needing exhaustive pairs must pin ``method="exact"``.
 
-        est = _estimated_rows(embeddings)
-        if est is None or est > max_exact_rows:
+    Pass ``dim`` (the embedding width) to keep the LSH branch fully lazy;
+    without it, building the LSH plan discovers the width from one
+    driver-side row — a limit-1 job over the upstream plan (mirrors
+    ``lsh_topk``'s ``dim=`` passthrough)."""
+    if method == "auto":
+        from .linking import _estimated_rows_ex
+
+        est, confident = _estimated_rows_ex(embeddings)
+        if confident and est is not None and est <= max_exact_rows:
+            method = "exact"
+        else:
             import warnings
 
+            reason = (
+                f"estimated row bound ({est}) exceeds {max_exact_rows}"
+                if confident
+                else "row-count estimate is not trustworthy for this "
+                "plan shape (non-scan input, e.g. a live UDF DAG)"
+            )
             warnings.warn(
-                "embedding_near_dup_pairs: input's estimated row bound "
-                f"({est}) exceeds {max_exact_rows}; auto-routing to "
+                f"embedding_near_dup_pairs: {reason}; auto-routing to "
                 "approximate LSH blocking (recall < 1). Pass "
                 "method='exact' to force exhaustive all-pairs, or "
                 "method='lsh' to silence this warning.",
                 stacklevel=2,
             )
             method = "lsh"
-        else:
-            method = "exact"
     if method == "lsh":
-        return _embedding_near_dup_lsh(embeddings, threshold, id_col)
+        return _embedding_near_dup_lsh(embeddings, threshold, id_col, dim=dim)
 
     def with_norm(df, suffix):
         return df.select(
@@ -389,6 +430,7 @@ def _embedding_near_dup_lsh(
     bucket_length: float = 0.25,
     num_hash_tables: int = 10,
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """LSH-blocked near-dup pairs on the NATIVE random-projection core
     (see ``similarity._rp_bucket_entries``): bucket the unit vectors with
@@ -397,7 +439,8 @@ def _embedding_near_dup_lsh(
     All whole-stage codegen — the MLlib approxSimilarityJoin this replaces
     paid a fixed ~2-4 s per call (vector UDF distance + un-codegen'd
     entry join).  Zero-norm embeddings are excluded (a zero vector can
-    never reach a positive cosine threshold)."""
+    never reach a positive cosine threshold).  Pass ``dim`` to skip the
+    one-row width-discovery job (see ``lsh_topk``)."""
     from .similarity import (
         _embedding_dim,
         _exact_cosine,
@@ -405,7 +448,8 @@ def _embedding_near_dup_lsh(
         _rp_projections,
     )
 
-    dim = _embedding_dim(embeddings)
+    if dim is None:
+        dim = _embedding_dim(embeddings)
     if dim is None:
         return (
             embeddings.limit(0)

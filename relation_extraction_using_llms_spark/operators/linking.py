@@ -596,36 +596,74 @@ def _parquet_scan_rows(df, max_files: int = 256) -> int | None:
         return None
 
 
-def _estimated_rows(df, min_bytes_per_row: int = 5) -> int | None:
-    """Row-count UPPER BOUND from the optimized plan's statistics — a pure
-    plan inspection plus at most a parquet-footer metadata read, never a
-    job.  Returns None when nothing usable is known (e.g. a live UDF DAG
-    with default stats).
+# Leaves whose sizeInBytes reflects REAL materialized data (file bytes,
+# local rows, range arithmetic) and whose rows a Project/Filter chain
+# cannot multiply — the byte-floor heuristic is a true upper bound only
+# over these.  Anything else (a join, a Generate/explode, a Python map
+# node) inherits its CHILD's size estimate while potentially multiplying
+# rows arbitrarily, so the heuristic can undershoot there.
+_TRUSTED_STATS_LEAVES = frozenset(
+    {"LogicalRelation", "Range", "LocalRelation", "OneRowRelation"}
+)
 
-    Resolution order: Catalyst rowCount when defined -> exact parquet
-    footer counts for scan-shaped plans (``_parquet_scan_rows``) ->
-    sizeInBytes / ``min_bytes_per_row``.  The byte heuristic assumes rows
-    can compress to as few as ``min_bytes_per_row`` bytes, so it
-    OVERSHOOTS for uncompressed relations — deliberately: the auto layout
-    router below should pick the small-input ``packed`` path only when
-    the input is confidently small, and fall back to the scale-safe
-    ``pairs`` layout whenever in doubt."""
+
+def _scan_shaped(df) -> bool:
+    """True when the optimized plan is Project/Filter* over a leaf whose
+    statistics derive from materialized data (``_TRUSTED_STATS_LEAVES``).
+    Pure driver-side plan inspection, never a job."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while True:
+            cls = node.getClass().getSimpleName()
+            if cls in ("Project", "Filter"):
+                if node.children().size() != 1:
+                    return False
+                node = node.children().apply(0)
+                continue
+            return cls in _TRUSTED_STATS_LEAVES
+    except Exception:
+        return False
+
+
+def _estimated_rows_ex(
+    df, min_bytes_per_row: int = 5
+) -> tuple[int | None, bool]:
+    """(row-count upper bound, confident) from the optimized plan's
+    statistics — a pure plan inspection plus at most a parquet-footer
+    metadata read, never a job.  ``confident`` is True only when the
+    bound provably cannot undershoot: a Catalyst-defined rowCount, an
+    exact parquet-footer count, or the byte-floor heuristic over a
+    scan-shaped plan (Project/Filter over a materialized leaf — rows
+    cannot multiply, bytes are real, and ``min_bytes_per_row`` assumes
+    implausibly extreme compression, so the estimate only overshoots).
+
+    For any OTHER plan shape the byte heuristic is returned with
+    ``confident=False``: Catalyst derives a Python-map or explode node's
+    sizeInBytes from its CHILD, so a row-multiplying operator upstream
+    can make the estimate undershoot arbitrarily.  Callers routing
+    between a small-input layout and a scale-safe one must take the
+    scale-safe path on an unconfident estimate."""
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         rc = stats.rowCount()
         if rc.isDefined():
-            return int(str(rc.get()))  # py4j may hand back BigInt or int
+            return int(str(rc.get())), True  # py4j: BigInt or int
         exact = _parquet_scan_rows(df)
         if exact is not None:
-            return exact
+            return exact, True
         size = int(str(stats.sizeInBytes()))
         # Catalyst's "unknown" default is Long.MaxValue-ish; treat
         # implausibly huge sizes as unknown
         if size <= 0 or size >= (1 << 60):
-            return None
-        return max(1, size // min_bytes_per_row)
+            return None, False
+        return max(1, size // min_bytes_per_row), _scan_shaped(df)
     except Exception:
-        return None
+        return None, False
+
+
+def _estimated_rows(df, min_bytes_per_row: int = 5) -> int | None:
+    """Row-count upper bound alone (see ``_estimated_rows_ex``)."""
+    return _estimated_rows_ex(df, min_bytes_per_row)[0]
 
 
 def resolve_in_document(
@@ -655,12 +693,13 @@ def resolve_in_document(
     * ``auto`` (default): pick by input size from OPTIMIZER STATISTICS —
       no probe job, so the call stays fully lazy (a count probe would
       execute the whole upstream DAG, e.g. the Python parse stage, once
-      extra at plan-construction time).  When Catalyst knows a row count
-      (e.g. a materialized parquet stage table) it is used directly;
-      otherwise a conservative row-count UPPER BOUND is taken from
-      sizeInBytes assuming rows can compress to ~5 bytes (see
-      ``_estimated_rows``); if nothing is known the scale-safe ``pairs``
-      layout wins.  Small inputs take ``packed`` (the pair-grain
+      extra at plan-construction time).  When the row count is known
+      CONFIDENTLY (a Catalyst rowCount, an exact parquet-footer count
+      for a materialized stage table, or the byte-floor bound over a
+      scan-shaped plan — see ``_estimated_rows_ex``) and small, the
+      ``packed`` layout wins; any unconfident estimate (e.g. a live
+      UDF DAG, whose child-derived sizeInBytes can undershoot) routes
+      to the scale-safe ``pairs``.  Small inputs take ``packed`` (the pair-grain
       layout's ~3 extra shuffles are pure fixed cost there); anything
       bigger takes ``pairs``, whose Python cost tracks distinct
       (mention, entity) pairs — the Zipfian-collapse that wins at web
@@ -677,10 +716,15 @@ def resolve_in_document(
         # text that snappy CAN compress below 5 B/row, and the packed route
         # must only win when the input is confidently small — widen the
         # margin toward the scale-safe pairs layout (perf-only either way;
-        # layouts are parity-tested).
-        est = _estimated_rows(pred_df, min_bytes_per_row=2)
+        # layouts are parity-tested).  The packed route additionally
+        # requires a CONFIDENT estimate (exact counts, or the byte floor
+        # over a scan-shaped plan): over a live UDF/explode DAG the byte
+        # heuristic can undershoot, and pairs is the only safe default.
+        est, confident = _estimated_rows_ex(pred_df, min_bytes_per_row=2)
         mode = (
-            "packed" if est is not None and est <= auto_threshold else "pairs"
+            "packed"
+            if confident and est is not None and est <= auto_threshold
+            else "pairs"
         )
     if mode == "pairs":
         return _resolve_pair_grain(

@@ -374,8 +374,10 @@ def make_embedding_kernel(embed_fn, cache_size: int = 262144):
         if len(cache) >= cache_size:
             # evict the oldest half (dict preserves insertion order) — a
             # full clear() would thrash a working set slightly above the
-            # cap to a ~0% hit rate on every executor batch
-            for k in list(itertools.islice(cache, cache_size // 2)):
+            # cap to a ~0% hit rate on every executor batch.  max(1, ...)
+            # keeps degenerate cache_size <= 1 bounded (half of 1 rounds
+            # to 0 evictions, which would grow without limit).
+            for k in list(itertools.islice(cache, max(1, cache_size // 2))):
                 del cache[k]
         cache[key] = score
         return score

@@ -23,10 +23,15 @@ from ..functions.extraction import extract_batches
 from ..schemas import CLEAN_TEXT, PAGES
 
 
-def stream_pages(spark, pages_path: str) -> DataFrame:
+def stream_pages(
+    spark, pages_path: str, max_files_per_trigger: int = 64
+) -> DataFrame:
+    """Page-file stream; ``max_files_per_trigger`` bounds micro-batch size
+    (back-pressure knob — size so one batch's extraction fits executor
+    memory at the deployment's file sizes)."""
     return (
         spark.readStream.schema(PAGES)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(pages_path)
     )
 
@@ -57,13 +62,20 @@ def run_available_now(
     return q
 
 
-def events_hourly_stream(events_stream: DataFrame) -> DataFrame:
-    """Watermarked tumbling-window aggregate over an events stream:
-    1-hour windows, 2-hour lateness tolerance."""
+def events_hourly_stream(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate over an events stream.
+    ``window`` is the tumbling width and ``watermark`` the lateness
+    tolerance (events older than max-seen-ts − watermark are dropped);
+    any Spark interval string works (``"15 minutes"``, ``"1 day"``).
+    Defaults match the batch ``events_hourly`` oracle twin."""
     return (
         events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("value").alias("sum_value"),

@@ -312,7 +312,11 @@ def test_embedding_auto_mode_stays_lazy(spark):
     """embedding_near_dup_pairs method='auto' must route from plan
     statistics, never by running a job (mirror of
     test_resolve_auto_mode_stays_lazy): building the pairs DataFrame over
-    a poisoned upstream DAG must not execute it."""
+    a poisoned upstream DAG must not execute it.  A UDF-backed plan has
+    no trustworthy row estimate (child-derived sizeInBytes can
+    undershoot), so auto must take the scale-safe LSH route — with
+    ``dim=`` passed, that stays fully lazy too (no one-row
+    width-discovery job)."""
     import warnings
 
     from relation_extraction_using_llms_spark.operators.dedup import (
@@ -326,11 +330,51 @@ def test_embedding_auto_mode_stays_lazy(spark):
     poisoned = spark.range(4).mapInPandas(
         boom, schema="vec_id long, embedding array<double>"
     )
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        pairs = embedding_near_dup_pairs(poisoned, threshold=0.99)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pairs = embedding_near_dup_pairs(poisoned, threshold=0.99, dim=2)
+    # unconfident estimate -> must NOT take the O(n^2) exact crossJoin
+    assert any("auto-routing" in str(w.message) for w in rec)
     with pytest.raises(Exception, match="upstream DAG executed"):
         pairs.count()
+
+
+def test_estimated_rows_confidence(spark, tmp_path):
+    """_estimated_rows_ex: confident for parquet scans, Range and
+    createDataFrame plans (rows can't multiply, bytes are real); NOT
+    confident for Python-map/join nodes, whose child-derived sizeInBytes
+    can undershoot a row-multiplying upstream arbitrarily."""
+    import pandas as pd
+
+    from relation_extraction_using_llms_spark.operators.linking import (
+        _estimated_rows_ex,
+    )
+
+    p = str(tmp_path / "t")
+    spark.range(321).selectExpr("cast(id AS string) AS url").write.mode(
+        "overwrite"
+    ).parquet(p)
+    est, conf = _estimated_rows_ex(spark.read.parquet(p))
+    assert conf and est == 321
+
+    est, conf = _estimated_rows_ex(
+        spark.range(40).selectExpr("id AS vec_id", "id * 2 AS y")
+    )
+    assert conf and est is not None and est >= 40
+
+    # createDataFrame arrives as a LogicalRDD: stats genuinely unknown
+    est, conf = _estimated_rows_ex(
+        spark.createDataFrame([(1, "a")], "id long, s string")
+    )
+    assert est is None and not conf
+
+    def explode9000(batches):
+        for b in batches:
+            yield pd.concat([b] * 9000)
+
+    mapped = spark.range(4).mapInPandas(explode9000, schema="id long")
+    est, conf = _estimated_rows_ex(mapped)
+    assert not conf  # whatever the number says, it cannot be trusted
 
 
 def test_estimated_rows_exact_for_committed_stage(spark, tmp_path):
@@ -448,3 +492,82 @@ def test_resolve_auto_mode_stays_lazy(spark):
         small = spark.read.parquet(f"{d}/t")
         est = _estimated_rows(small)
         assert est is not None and est < 500_000
+
+
+def test_banded_dedup_bucket_caps_bound_candidates(spark, sf_dir):
+    """Safe-by-default skew guards: a boilerplate-heavy corpus (many docs
+    sharing every band signature) must produce a BOUNDED candidate set
+    when the bucket cap is on — quadratic blowup inside one hot bucket is
+    the 100 TB failure mode — while genuinely similar pairs outside hot
+    buckets survive.  On the shipped corpus the default cap must be
+    invisible (identical pairs with and without it)."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    boiler = [(i, "subscribe to our newsletter terms and conditions apply")
+              for i in range(60)]
+    real = [(100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "the quick brown fox jumps over the lazy dog today")]
+    docs = spark.createDataFrame(boiler + real, "doc_id long, text string")
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(
+        docs, jaccard_threshold=0.9, max_docs_per_bucket=10).collect()}
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped), capped  # hot bucket dropped
+    uncapped = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.9, max_docs_per_bucket=None
+    ).count()
+    assert uncapped >= 60 * 59 / 2  # the blowup the cap prevents
+
+    s_capped = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(
+        docs, hamming_threshold=3, max_docs_per_bucket=10).collect()}
+    assert (100, 101) in s_capped
+    assert all(a >= 100 for a, _ in s_capped), s_capped
+    s_uncapped = simhash_pairs(
+        docs, hamming_threshold=3, max_docs_per_bucket=None
+    ).count()
+    assert s_uncapped >= 60 * 59 / 2
+
+    # shipped corpus: default cap (1000) changes nothing
+    shipped = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_cap = {(r["doc_a"], r["doc_b"])
+                for r in minhash_lsh_pairs(shipped).collect()}
+    no_cap = {(r["doc_a"], r["doc_b"])
+              for r in minhash_lsh_pairs(shipped, max_docs_per_bucket=None).collect()}
+    assert with_cap == no_cap
+    s_with = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(shipped).collect()}
+    s_without = {(r["doc_a"], r["doc_b"])
+                 for r in simhash_pairs(shipped, max_docs_per_bucket=None).collect()}
+    assert s_with == s_without
+
+
+def test_ivf_index_reuse_parity(spark, sf_dir):
+    """build_ivf_index + ivf_probe must return exactly what the one-shot
+    ivf_topk returns (same seed), for MULTIPLE query batches against one
+    prebuilt index — repeated probing must not refit KMeans."""
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = build_ivf_index(emb, n_lists=8, seed=7)
+    index.corpus = index.corpus.cache()
+    for lo, hi in [(0, 8), (8, 16)]:
+        batch = emb.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        probed = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_probe(index, batch, k=5, n_probe=4).collect()
+        }
+        oneshot = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ivf_topk(
+                emb, batch, k=5, n_lists=8, n_probe=4, seed=7
+            ).collect()
+        }
+        assert probed == oneshot and probed
