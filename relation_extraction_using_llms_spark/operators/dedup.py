@@ -210,13 +210,17 @@ def minhash_lsh_pairs(
         )
     )
     if max_docs_per_bucket is not None:
-        hot = (
-            banded.groupBy("band", "bsig")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_docs_per_bucket)
-            .select("band", "bsig")
+        # window count, NOT groupBy+anti-join: the filter pre-shuffles on
+        # the self-join key and keeps both join sides IDENTICAL plans, so
+        # ReuseExchange computes the signature pipeline once — a separate
+        # hot-bucket aggregation is a different subplan and forced a full
+        # extra signature pass (measured +1.5s at sf0.1).
+        bw = Window.partitionBy("band", "bsig")
+        banded = (
+            banded.withColumn("_df", F.count(F.lit(1)).over(bw))
+            .where(F.col("_df") <= max_docs_per_bucket)
+            .drop("_df")
         )
-        banded = banded.join(hot, ["band", "bsig"], "left_anti")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bsig"])
@@ -300,13 +304,14 @@ def simhash_pairs_from_signatures(
         F.expr(f"(simhash >> (band * {band_size})) & {(1 << band_size) - 1}"),
     )
     if max_docs_per_bucket is not None:
-        hot = (
-            banded.groupBy("band", "band_val")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_docs_per_bucket)
-            .select("band", "band_val")
+        # window-count filter for exchange reuse across the self-join
+        # sides (see minhash_lsh_pairs)
+        bw = Window.partitionBy("band", "band_val")
+        banded = (
+            banded.withColumn("_df", F.count(F.lit(1)).over(bw))
+            .where(F.col("_df") <= max_docs_per_bucket)
+            .drop("_df")
         )
-        banded = banded.join(hot, ["band", "band_val"], "left_anti")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "band_val"])
