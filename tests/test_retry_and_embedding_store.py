@@ -92,3 +92,29 @@ def test_embedding_store_incremental(spark, sf_dir, tmp_path):
     wider = update_store(docs.limit(80), path)
     assert wider.count() == wider.select("text_hash").distinct().count() == n_distinct_80
     assert wider.count() > n_first
+
+
+def test_table_format_abstraction(spark, tmp_path):
+    """read_table/write_table: the parquet path round-trips (partitioned
+    write included); the Iceberg branch is honestly gated — without the
+    runtime jar it raises a clear deploy hint, never a cryptic py4j
+    error."""
+    import pytest
+
+    from relation_extraction_using_llms_spark.sources.tables import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.range(20).selectExpr("id", "id % 3 AS part")
+    p = str(tmp_path / "t")
+    write_table(df, p, partition_by=("part",))
+    back = read_table(spark, p)
+    assert back.count() == 20
+    assert {r["part"] for r in back.select("part").distinct().collect()} == {0, 1, 2}
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        read_table(spark, "lake.web.pages", fmt="iceberg")
+    with pytest.raises(RuntimeError, match="classpath"):
+        write_table(df, "lake.web.out", fmt="iceberg")
+    with pytest.raises(ValueError, match="unknown table format"):
+        read_table(spark, p, fmt="delta")
