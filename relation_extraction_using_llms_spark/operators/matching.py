@@ -482,7 +482,23 @@ def gold_bundle(gold_relations_df, gold_entities_df):
 
 def _discover_combos(pred_df) -> list[tuple[str, str]]:
     """Tiny driver-side metadata read (distinct combo list) — not a data
-    collect; callers should pass ``combos`` explicitly in pipelines."""
+    collect; callers should pass ``combos`` explicitly in pipelines.
+    The result is small, but producing it EXECUTES the upstream plan —
+    over a live UDF DAG (no trustworthy stats) that means running e.g.
+    the whole parse stage once extra, so warn there."""
+    from .linking import _estimated_rows_ex
+
+    _, confident = _estimated_rows_ex(pred_df)
+    if not confident:
+        import warnings
+
+        warnings.warn(
+            "combos not provided and the prediction plan is not a "
+            "materialized scan: discovering the combo list executes the "
+            "upstream DAG once extra. Pass combos=[(technique, model), "
+            "...] explicitly (pipelines always do).",
+            stacklevel=3,
+        )
     rows = pred_df.select("technique", "model").distinct().collect()  # driver-metadata collect
     return [(r["technique"], r["model"]) for r in rows]
 

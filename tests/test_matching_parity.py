@@ -452,3 +452,39 @@ def test_match_classification_parity(spark, tmp_path):
         "exact_match", "partial_match", "hallucination", "unresolved"
     }
     assert ref_status["alpha2"] == "exact_match"  # FP kind, exact status
+
+
+def test_discover_combos_warns_on_live_dag(spark):
+    """Omitting combos= over a non-materialized prediction plan re-executes
+    the upstream DAG for a metadata read — the API must warn; a scan-shaped
+    input stays silent."""
+    import warnings
+
+    import pandas as pd
+
+    from relation_extraction_using_llms_spark.operators.matching import (
+        _discover_combos,
+    )
+
+    def emit(batches):
+        for b in batches:
+            yield pd.DataFrame({"technique": ["IO"], "model": ["m"]})
+
+    live = spark.range(1).mapInPandas(emit, schema="technique string, model string")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        combos = _discover_combos(live)
+    assert combos == [("IO", "m")]
+    assert any("combos" in str(w.message) for w in rec)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [("IO", "m")], "technique string, model string"
+        ).write.parquet(f"{d}/p")
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            combos = _discover_combos(spark.read.parquet(f"{d}/p"))
+        assert combos == [("IO", "m")]
+        assert not any("combos" in str(w.message) for w in rec)
