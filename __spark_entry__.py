@@ -599,6 +599,50 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), hamming_threshold=3)
 
 
+def q_dedup_repeated_passages(spark, sf_dir):
+    """Sub-document (passage-level) duplication: 8-token rolling windows
+    shared across >= 2 docs — md5 fingerprints, so DuckDB re-derives the
+    whole explode/group pipeline bit-for-bit."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        repeated_passages,
+    )
+
+    return repeated_passages(_docs(spark, sf_dir), window=8, min_docs=2)
+
+
+def q_corpus_pack(spark, sf_dir):
+    """Sequence packing: ~1000-token bins per source via an exclusive
+    cumulative-sum window (deterministic across runs/cluster sizes); the
+    oracle replays the identical window in SQL."""
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        pack_documents,
+    )
+
+    return pack_documents(_docs(spark, sf_dir), budget_tokens=1000, by="source")
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic hash-threshold sampling (20%): membership depends
+    only on md5(doc_id) vs an exact hex threshold, so the DuckDB twin
+    selects the identical rows."""
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        deterministic_sample,
+    )
+
+    return deterministic_sample(_docs(spark, sf_dir), 0.2).select(
+        "doc_id", "source"
+    )
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Per-source corpus QA stats (exact interpolated percentiles)."""
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        corpus_profile,
+    )
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 def q_dedup_embedding(spark, sf_dir):
     from relation_extraction_using_llms_spark.operators.dedup import (
         embedding_near_dup_pairs,
@@ -1486,7 +1530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_repeated_passages": q_dedup_repeated_passages,
         "dedup_embedding": q_dedup_embedding,
+        "corpus_pack": q_corpus_pack,
         "ann_topk": q_ann_topk,
         "text_token_count": q_token_count,
         "text_language_id": q_language_id,
@@ -1517,6 +1563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ann_ivf_recall,
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "dedup_simhash_banding": q_dedup_simhash_banding,
+        # ------- positions 51+: past the driver's 50-row recording cap.
+        # These two are oracled (the local contract battery verifies
+        # them); they sit here because exactly 50 driver rows exist and
+        # the 50 above carry more signal.
+        "corpus_sample": q_corpus_sample,
+        "corpus_profile": q_corpus_profile,
         # ------- rows-only tail (no oracle_sql twin BY DESIGN: greedy
         # Python matching, balanced-brace parsing, xxhash64/approximate
         # outputs).  Each has a green derived companion oracle above.
@@ -2400,6 +2452,10 @@ def _snapshot_oracles() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        _hex_threshold,
+    )
+
     en = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "is", "in", "that", "with"])
     de = ", ".join(f"'{w}'" for w in ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"])
     es = ", ".join(f"'{w}'" for w in ["el", "la", "los", "las", "es", "que", "con", "una"])
@@ -2446,6 +2502,59 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        "dedup_repeated_passages": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), win AS (
+              SELECT doc_id,
+                     array_to_string(t[i:i+7], ' ') AS passage
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8
+            )
+            SELECT md5(passage) AS passage_hash,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(least(count(*), 100000) AS BIGINT) AS n_occurrences,
+                   min(doc_id) AS sample_doc_id,
+                   min(passage) AS sample_text
+            FROM win GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "corpus_pack": """
+            WITH t AS (
+              SELECT doc_id, source AS "group",
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, "group", CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(floor(coalesce(
+                     sum(n_tokens) OVER (
+                       PARTITION BY "group" ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) / 1000.0) AS BIGINT) AS bin_id
+            FROM t
+        """,
+        "corpus_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.2)}'
+        """,
+        "corpus_profile": """
+            WITH t AS (
+              SELECT source AS "group",
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS n_tokens,
+                     length(text) AS n_chars
+              FROM documents
+            )
+            SELECT "group",
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM t GROUP BY 1
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -252,6 +252,64 @@ def minhash_lsh_pairs(
     )
 
 
+def repeated_passages(
+    documents: DataFrame,
+    window: int = 32,
+    min_docs: int = 2,
+    max_occurrences_per_passage: int | None = 100_000,
+) -> DataFrame:
+    """Passage-level (sub-document) duplication: every ``window``-token
+    rolling window is fingerprinted (md5 over the joined tokens — an
+    external-oracle-friendly hash) and windows shared across >=
+    ``min_docs`` documents are reported with their document and
+    occurrence counts.  The standard boilerplate/quoted-passage detector
+    for training corpora — document-grain dedup (exact/minhash/simhash
+    above) cannot see a duplicated paragraph inside otherwise-distinct
+    pages.
+
+    Plan shape: tokens bound once per doc (``bind_once`` — the
+    interpreted-HOF collapse trap), window explode, ONE map-side
+    combinable groupBy on the fingerprint.  Docs shorter than ``window``
+    contribute nothing (they cannot contain a full window; Spark's
+    ``sequence(0, negative)`` would count DOWN, so the guard matters).
+    ``max_occurrences_per_passage`` truncates the count for a
+    pathological passage (pure safety valve on the returned count, not a
+    grouping cap — the aggregation itself is a count, never a collect).
+
+    Returns (passage_hash, n_docs, n_occurrences, sample_doc_id,
+    sample_text)."""
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    windows = _let(
+        tokens,
+        lambda t: F.when(
+            F.size(t) >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - window),
+                lambda i: F.array_join(F.slice(t, i + 1, window), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    exploded = documents.select(
+        "doc_id", F.explode(windows).alias("passage")
+    ).select("doc_id", F.md5("passage").alias("passage_hash"), "passage")
+    agg = (
+        exploded.groupBy("passage_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("sample_doc_id"),
+            F.min("passage").alias("sample_text"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    if max_occurrences_per_passage is not None:
+        agg = agg.withColumn(
+            "n_occurrences",
+            F.least(F.col("n_occurrences"), F.lit(max_occurrences_per_passage)),
+        )
+    return agg
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit SimHash fingerprint from token hashes —
     the signature stage of ``simhash_pairs``, exposed so the banded
