@@ -77,3 +77,31 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         d for d in os.listdir(f"{out}/graph/edges") if d.startswith("subj_bucket=")
     ]
     assert len(buckets) > 1  # bucket-partitioned layout on disk
+
+
+def test_rag_http_demo_end_to_end(tmp_path):
+    """The served-embedder demo (in-process HTTP endpoint -> ANN RAG +
+    sbert matching) must stay runnable as a plain python script: one JSON
+    line with contexts retrieved and sbert counts produced through the
+    endpoint."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "rag_http_demo.py"),
+            "--sf-dir", SF_DIR,
+            "--limit", "15",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),  # not the repo: the script must self-locate
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+    assert got["rag_urls_with_context"] > 0
+    assert got["sbert_tp"] + got["sbert_fp"] + got["sbert_fn"] > 0
+    assert got["endpoint"].startswith("http://127.0.0.1:")
