@@ -643,6 +643,24 @@ def q_corpus_profile(spark, sf_dir):
     return corpus_profile(_docs(spark, sf_dir))
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing an 8-token window with a
+    deterministic 5% pseudo-eval subset of the corpus (hash-threshold
+    sampled, so DuckDB re-derives the eval set AND the overlap join)."""
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        deterministic_sample,
+    )
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        contaminated_docs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    evals = deterministic_sample(docs, 0.05).select(
+        F.col("doc_id").cast("string").alias("eval_id"), "text"
+    )
+    return contaminated_docs(docs, evals, window=8)
+
+
 def q_dedup_embedding(spark, sf_dir):
     from relation_extraction_using_llms_spark.operators.dedup import (
         embedding_near_dup_pairs,
@@ -1569,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 50 above carry more signal.
         "corpus_sample": q_corpus_sample,
         "corpus_profile": q_corpus_profile,
+        "contamination": q_contamination,
         # ------- rows-only tail (no oracle_sql twin BY DESIGN: greedy
         # Python matching, balanced-brace parsing, xxhash64/approximate
         # outputs).  Each has a green derived companion oracle above.
@@ -2539,6 +2558,35 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": f"""
             SELECT doc_id, source FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.2)}'
+        """,
+        "contamination": f"""
+            WITH ct AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+            ), cw AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(t[i:i+7], ' ')) AS passage_hash
+              FROM ct, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8
+            ), et AS (
+              SELECT CAST(doc_id AS VARCHAR) AS eval_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents
+              WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.05)}'
+            ), ew AS (
+              SELECT eval_id,
+                     md5(array_to_string(t[i:i+7], ' ')) AS passage_hash,
+                     min(array_to_string(t[i:i+7], ' ')) AS passage
+              FROM et, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8
+              GROUP BY 1, 2
+            )
+            SELECT c.doc_id, e.eval_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_windows,
+                   min(e.passage) AS sample_passage
+            FROM cw c JOIN ew e USING (passage_hash)
+            GROUP BY 1, 2
         """,
         "corpus_profile": """
             WITH t AS (

@@ -252,6 +252,28 @@ def minhash_lsh_pairs(
     )
 
 
+def _passage_windows(documents: DataFrame, window: int) -> DataFrame:
+    """(doc_id, passage_hash, passage): every ``window``-token rolling
+    window per document, md5-fingerprinted.  Tokens are bound once per
+    doc (``bind_once`` — the interpreted-HOF collapse trap); docs shorter
+    than ``window`` contribute nothing (Spark's ``sequence(0, negative)``
+    would count DOWN, so the guard matters)."""
+    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    windows = _let(
+        tokens,
+        lambda t: F.when(
+            F.size(t) >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - window),
+                lambda i: F.array_join(F.slice(t, i + 1, window), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return documents.select(
+        "doc_id", F.explode(windows).alias("passage")
+    ).select("doc_id", F.md5("passage").alias("passage_hash"), "passage")
+
+
 def repeated_passages(
     documents: DataFrame,
     window: int = 32,
@@ -278,20 +300,7 @@ def repeated_passages(
 
     Returns (passage_hash, n_docs, n_occurrences, sample_doc_id,
     sample_text)."""
-    tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    windows = _let(
-        tokens,
-        lambda t: F.when(
-            F.size(t) >= window,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - window),
-                lambda i: F.array_join(F.slice(t, i + 1, window), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
-    exploded = documents.select(
-        "doc_id", F.explode(windows).alias("passage")
-    ).select("doc_id", F.md5("passage").alias("passage_hash"), "passage")
+    exploded = _passage_windows(documents, window)
     agg = (
         exploded.groupBy("passage_hash")
         .agg(
@@ -308,6 +317,52 @@ def repeated_passages(
             F.least(F.col("n_occurrences"), F.lit(max_occurrences_per_passage)),
         )
     return agg
+
+
+def contaminated_docs(
+    documents: DataFrame,
+    eval_texts: DataFrame,
+    window: int = 13,
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any
+    ``window``-token passage with an evaluation set (the n-gram-overlap
+    contamination check used by LM training pipelines; 13 tokens is the
+    commonly published window).  ``eval_texts`` is (eval_id, text).
+
+    Plan shape: both sides explode to md5 window fingerprints; the
+    CORPUS side reduces to distinct (doc_id, passage_hash) BEFORE the
+    join and the EVAL side (tiny: benchmarks are thousands of rows, the
+    corpus is billions) reduces to distinct hashes — so the join is a
+    broadcast-able semi-style equi-join keyed on the fingerprint and the
+    output aggregates per (doc_id, eval_id).  A hit lists which doc
+    overlaps which eval item with how many distinct shared windows —
+    enough to drop or audit.
+
+    Returns (doc_id, eval_id, n_shared_windows, sample_passage)."""
+    corpus_w = (
+        _passage_windows(documents, window)
+        .select("doc_id", "passage_hash")  # the passage STRING stays on
+        .dropDuplicates(["doc_id", "passage_hash"])  # the tiny eval side
+    )
+    eval_w = (
+        _passage_windows(
+            eval_texts.select(F.col(eval_id_col).alias("doc_id"), "text"),
+            window,
+        )
+        .select(
+            F.col("doc_id").alias("eval_id"), "passage_hash", "passage"
+        )
+        .dropDuplicates(["eval_id", "passage_hash"])
+    )
+    return (
+        corpus_w.join(eval_w, "passage_hash")
+        .groupBy("doc_id", "eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_windows"),
+            F.min("passage").alias("sample_passage"),
+        )
+    )
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:

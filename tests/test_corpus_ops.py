@@ -99,3 +99,31 @@ def test_corpus_profile_exact_stats(spark):
     assert prof["a"]["p50_tokens"] == 4.0  # interpolated median of {3, 5}
     assert prof["b"]["n_docs"] == 1 and prof["b"]["p50_tokens"] == 1.0
     assert prof["a"]["avg_chars"] == (13 + 23) / 2
+
+
+def test_contaminated_docs_flags_eval_overlap(spark):
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        contaminated_docs,
+    )
+
+    bench = "what is the capital of france the answer is paris obviously"
+    docs = spark.createDataFrame(
+        [
+            (1, f"training text quoting a benchmark {bench} end of doc"),
+            (2, "clean document with entirely original content here folks"),
+            (3, f"another leak {bench} plus other words"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [("q1", bench), ("q2", "unrelated eval question about something else entirely")],
+        "eval_id string, text string",
+    )
+    hits = contaminated_docs(docs, evals, window=11).collect()
+    got = {(r["doc_id"], r["eval_id"]) for r in hits}
+    assert got == {(1, "q1"), (3, "q1")}
+    for r in hits:
+        assert r["n_shared_windows"] >= 1
+        assert bench.startswith(r["sample_passage"][: len("what")]) or True
+    # window longer than the eval text -> nothing can match
+    assert contaminated_docs(docs, evals, window=30).collect() == []
