@@ -643,6 +643,19 @@ def q_corpus_profile(spark, sf_dir):
     return corpus_profile(_docs(spark, sf_dir))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over the documents table — the redacted text is
+    value-hashed byte-for-byte against DuckDB running the identical
+    sequential regexp pipeline (the synthetic corpus is PII-free, so
+    this certifies cross-engine regex agreement incl. the no-match
+    path; the semantic load is carried by tests/test_corpus_ops.py)."""
+    from relation_extraction_using_llms_spark.operators.corpus import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir)).select(
+        "doc_id", "text", "n_email", "n_ip", "n_phone"
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark decontamination: docs sharing an 8-token window with a
     deterministic 5% pseudo-eval subset of the corpus (hash-threshold
@@ -1588,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_profile": q_corpus_profile,
         "contamination": q_contamination,
+        "redact_pii": q_redact_pii,
         # ------- rows-only tail (no oracle_sql twin BY DESIGN: greedy
         # Python matching, balanced-brace parsing, xxhash64/approximate
         # outputs).  Each has a green derived companion oracle above.
@@ -2470,6 +2484,31 @@ def _snapshot_oracles() -> dict[str, str]:
     return out
 
 
+def _redact_pii_sql() -> str:
+    """DuckDB twin of corpus.redact_pii built from the SAME pattern
+    tuple: counts taken at each stage of the sequential redaction, 'g'
+    flag for replace-all (DuckDB replaces first-only by default; Spark
+    replaces all)."""
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        PII_PATTERNS,
+    )
+
+    expr = "text"
+    count_cols = []
+    for kind, pat, token in PII_PATTERNS:
+        count_cols.append(
+            "len(regexp_extract_all(" + expr + ", '" + pat + "')) AS n_" + kind
+        )
+        expr = "regexp_replace(" + expr + ", '" + pat + "', '" + token + "', 'g')"
+    return (
+        "SELECT doc_id, "
+        + expr
+        + " AS text, "
+        + ", ".join(count_cols)
+        + " FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from relation_extraction_using_llms_spark.operators.corpus import (
         _hex_threshold,
@@ -2559,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.2)}'
         """,
+        "redact_pii": _redact_pii_sql(),
         "contamination": f"""
             WITH ct AS (
               SELECT doc_id,

@@ -83,6 +83,47 @@ def pack_documents(
     )
 
 
+# PII patterns shared verbatim by the Spark operator and the DuckDB
+# oracle: restricted to the Java-regex ∩ RE2 dialect (no lookaround, no
+# backreferences) so both engines match identical spans.  Redaction
+# order matters (an email contains dot-separated tokens an IP pattern
+# could nibble at) and is fixed: email -> ipv4 -> intl phone.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"\+\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{2,4}",
+        "<PHONE>",
+    ),
+)
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses and international phone numbers from
+    the text column, counting what was removed — the standard PII pass a
+    web-scale training pipeline runs before publication.  Pure JVM
+    ``regexp_replace``/``regexp_extract_all`` column logic (codegen, no
+    Python); patterns are deliberately conservative (the ``+``-prefixed
+    phone form only) — recall-tuned pattern packs drop into
+    ``PII_PATTERNS`` without touching the operator.
+
+    Returns the input columns with ``text`` redacted plus one
+    ``n_<kind>`` count per pattern."""
+    out = documents
+    redacted = F.col(text_col)
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}"
+            )
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    keep = [c for c in documents.columns if c != text_col]
+    return out.select(*keep, redacted.alias(text_col), *counts)
+
+
 def corpus_profile(documents: DataFrame, by: str = "source") -> DataFrame:
     """Per-group corpus QA statistics: doc count, token totals, exact
     interpolated median/p95 token counts and mean char length.  One

@@ -127,3 +127,24 @@ def test_contaminated_docs_flags_eval_overlap(spark):
         assert bench.startswith(r["sample_passage"][: len("what")]) or True
     # window longer than the eval text -> nothing can match
     assert contaminated_docs(docs, evals, window=30).collect() == []
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from relation_extraction_using_llms_spark.operators.corpus import redact_pii
+
+    rows = [
+        (1, "s", "contact john.doe+x@example.co.uk or call +1 (415) 555-0199"),
+        (2, "s", "server at 192.168.1.254 and 10.0.0.1 responded"),
+        (3, "s", "clean text with a decimal 3.14 and version 1.2 inside"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert "<EMAIL>" in out[1]["text"] and "example" not in out[1]["text"]
+    assert "<PHONE>" in out[1]["text"] and "555" not in out[1]["text"]
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert out[2]["text"].count("<IP>") == 2 and out[2]["n_ip"] == 2
+    assert out[3]["text"] == rows[2][2]  # decimals are not IPs
+    assert out[3]["n_email"] == out[3]["n_ip"] == out[3]["n_phone"] == 0
+    assert set(out[1].asDict()) == {
+        "doc_id", "source", "text", "n_email", "n_ip", "n_phone"
+    }
