@@ -73,10 +73,23 @@ def write_table(
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
 ) -> None:
-    """Write a result table.  Parquet writes to a path; Iceberg appends /
-    overwrites a catalog table via the v2 writer (``overwrite`` maps to
-    ``overwritePartitions`` — dynamic partition overwrite, the
-    idempotent re-run shape for a partitioned stage output)."""
+    """Write a result table.  Parquet writes to a path; Iceberg writes a
+    catalog table via the v2 writer.
+
+    Iceberg ``mode`` semantics (the idempotent-stage contract):
+      ``overwrite``  on an EXISTING table -> ``overwritePartitions()`` —
+                     dynamic partition overwrite, replacing only the
+                     partitions present in ``df`` (a resumed stage
+                     re-writing one partition leaves siblings intact);
+                     on a missing table -> ``create()``.
+      ``append``     -> ``append()``.
+
+    ``partition_by`` defines the table's partition spec and therefore
+    only applies when the table is CREATED (DataFrameWriterV2 ignores
+    ``partitionedBy`` for append/overwrite of an existing table — the
+    spec already lives in the table metadata); passing it on later
+    writes is harmless but has no effect, so this function only wires it
+    into the create path."""
     if fmt == "parquet":
         w = df.write.mode(mode)
         if partition_by:
@@ -84,18 +97,24 @@ def write_table(
         w.parquet(location)
         return
     if fmt == "iceberg":
-        if not _iceberg_available(df.sparkSession):
+        spark = df.sparkSession
+        if not _iceberg_available(spark):
             raise RuntimeError(
                 "Iceberg runtime not on the classpath (see read_table)"
             )
         w = df.writeTo(location)
-        if partition_by:
-            from pyspark.sql import functions as F
-
-            w = w.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "overwrite":
-            w.createOrReplace()
-        else:
+            if spark.catalog.tableExists(location):
+                w.overwritePartitions()
+            else:
+                if partition_by:
+                    from pyspark.sql import functions as F
+
+                    w = w.partitionedBy(*[F.col(c) for c in partition_by])
+                w.create()
+        elif mode == "append":
             w.append()
+        else:
+            raise ValueError(f"unsupported iceberg write mode: {mode!r}")
         return
     raise ValueError(f"unknown table format: {fmt!r}")

@@ -52,25 +52,33 @@ def _token_hash_vec(text: str, dim: int = DIM) -> list[float]:
     return v
 
 
-class _Handler(BaseHTTPRequestHandler):
-    def do_POST(self):
-        n = int(self.headers["Content-Length"])
-        payload = json.loads(self.rfile.read(n))
-        body = json.dumps(
-            {"data": [{"embedding": _token_hash_vec(t)} for t in payload["input"]]}
-        ).encode()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+def _serve(dim: int = DIM) -> str:
+    """Start the in-process stand-in endpoint serving ``dim``-wide
+    vectors — the width follows --dim so the LSH projections downstream
+    are always built for the vectors actually served."""
 
-    def log_message(self, *a):  # keep stdout to the one JSON line
-        pass
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            payload = json.loads(self.rfile.read(n))
+            body = json.dumps(
+                {
+                    "data": [
+                        {"embedding": _token_hash_vec(t, dim)}
+                        for t in payload["input"]
+                    ]
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
+        def log_message(self, *a):  # keep stdout to the one JSON line
+            pass
 
-def _serve() -> str:
-    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return f"http://127.0.0.1:{srv.server_address[1]}/v1/embeddings"
 
@@ -87,7 +95,7 @@ def main() -> None:
     ap.add_argument("--limit", type=int, default=40)
     args = ap.parse_args()
 
-    endpoint = args.endpoint or _serve()
+    endpoint = args.endpoint or _serve(args.dim)
 
     from relation_extraction_using_llms_spark.session import get_spark
 

@@ -118,3 +118,89 @@ def test_table_format_abstraction(spark, tmp_path):
         write_table(df, "lake.web.out", fmt="iceberg")
     with pytest.raises(ValueError, match="unknown table format"):
         read_table(spark, p, fmt="delta")
+
+
+def test_iceberg_write_call_chain(spark, monkeypatch):
+    """Pin the jar-gated Iceberg branch with a stub writer so it cannot
+    drift (the container has no Iceberg runtime, so this is the only way
+    to test it): mode="overwrite" on an EXISTING table must be
+    overwritePartitions() — dynamic partition overwrite, never a
+    whole-table replace (createOrReplace would wipe sibling partitions on
+    a resumed-stage re-run); a missing table is created WITH the
+    partition spec; append never calls partitionedBy (the spec lives in
+    the table metadata after creation)."""
+    import pytest
+
+    from relation_extraction_using_llms_spark.sources import tables
+
+    calls: list[tuple] = []
+
+    class FakeWriter:
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", len(cols)))
+            return self
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions",))
+
+        def create(self):
+            calls.append(("create",))
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace",))
+
+        def append(self):
+            calls.append(("append",))
+
+    class FakeCatalog:
+        def __init__(self, exists):
+            self._exists = exists
+
+        def tableExists(self, name):
+            calls.append(("tableExists", name))
+            return self._exists
+
+    class FakeSession:
+        def __init__(self, exists):
+            self.catalog = FakeCatalog(exists)
+
+    class FakeDF:
+        def __init__(self, exists):
+            self.sparkSession = FakeSession(exists)
+
+        def writeTo(self, loc):
+            calls.append(("writeTo", loc))
+            return FakeWriter()
+
+    monkeypatch.setattr(tables, "_iceberg_available", lambda s: True)
+
+    # overwrite + existing table -> dynamic partition overwrite ONLY
+    calls.clear()
+    tables.write_table(
+        FakeDF(True), "lake.g.t", fmt="iceberg", mode="overwrite",
+        partition_by=("day",),
+    )
+    assert ("overwritePartitions",) in calls
+    assert not any(c[0] in ("createOrReplace", "create", "partitionedBy") for c in calls)
+
+    # overwrite + missing table -> create WITH the partition spec
+    calls.clear()
+    tables.write_table(
+        FakeDF(False), "lake.g.t", fmt="iceberg", mode="overwrite",
+        partition_by=("day", "lang"),
+    )
+    assert ("partitionedBy", 2) in calls and ("create",) in calls
+    assert not any(
+        c[0] in ("createOrReplace", "overwritePartitions", "append") for c in calls
+    )
+
+    # append -> append, partition spec NOT re-declared
+    calls.clear()
+    tables.write_table(
+        FakeDF(True), "lake.g.t", fmt="iceberg", mode="append",
+        partition_by=("day",),
+    )
+    assert calls == [("writeTo", "lake.g.t"), ("append",)]
+
+    with pytest.raises(ValueError, match="unsupported iceberg write mode"):
+        tables.write_table(FakeDF(True), "lake.g.t", fmt="iceberg", mode="replace")
