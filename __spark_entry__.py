@@ -611,9 +611,11 @@ def q_dedup_repeated_passages(spark, sf_dir):
 
 
 def q_corpus_pack(spark, sf_dir):
-    """Sequence packing: ~1000-token bins per source via an exclusive
-    cumulative-sum window (deterministic across runs/cluster sizes); the
-    oracle replays the identical window in SQL."""
+    """Sequence packing: ~1000-token bins per source via the two-level
+    exclusive cumulative sum (windows partitioned by (group, hash-bucket)
+    + broadcast bucket offsets — never one task per group).  The result
+    equals a single exclusive-cumsum window over the (bucket, doc_id)
+    total order, which is exactly what the oracle replays in SQL."""
     from relation_extraction_using_llms_spark.operators.corpus import (
         pack_documents,
     )
@@ -635,12 +637,16 @@ def q_corpus_sample(spark, sf_dir):
 
 
 def q_corpus_profile(spark, sf_dir):
-    """Per-source corpus QA stats (exact interpolated percentiles)."""
+    """Per-source corpus QA stats.  ``exact=True`` pins the exact
+    interpolated percentile the DuckDB quantile_cont twin replays; the
+    operator DEFAULT is approx_percentile (bounded sketch — exact
+    percentile buffers every per-group value and OOMs on a 10^9-doc
+    source), covered by tests/test_corpus_ops.py."""
     from relation_extraction_using_llms_spark.operators.corpus import (
         corpus_profile,
     )
 
-    return corpus_profile(_docs(spark, sf_dir))
+    return corpus_profile(_docs(spark, sf_dir), exact=True)
 
 
 def q_redact_pii(spark, sf_dir):
@@ -2583,13 +2589,18 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, source AS "group",
                      len(string_split_regex(lower(trim(text)), '\\s+'))
-                         AS n_tokens
+                         AS n_tokens,
+                     ((strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                      + strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                       % 16 AS bucket
               FROM documents
             )
             SELECT doc_id, "group", CAST(n_tokens AS INT) AS n_tokens,
                    CAST(floor(coalesce(
                      sum(n_tokens) OVER (
-                       PARTITION BY "group" ORDER BY doc_id
+                       PARTITION BY "group" ORDER BY bucket, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                      0) / 1000.0) AS BIGINT) AS bin_id
             FROM t

@@ -8,11 +8,15 @@ quality stages in this package:
                          with no RNG state to ship (unlike ``df.sample``,
                          whose output depends on partitioning)
   pack_documents         streaming sequence packing: assign docs to
-                         ~budget-token bins per group via a cumulative-sum
-                         window — the batch-construction step before
+                         ~budget-token bins per group via a TWO-LEVEL
+                         cumulative sum ((group, hash-bucket) windows +
+                         broadcast bucket offsets — never one task per
+                         group) — the batch-construction step before
                          training-example serialization
-  corpus_profile         per-source token/length statistics (exact
-                         interpolated percentiles) — the corpus QA table
+  corpus_profile         per-source token/length statistics
+                         (approx_percentile by default; exact=True for
+                         the oracle-verified interpolated form) — the
+                         corpus QA table
 
 All three are pure JVM column/window logic with DuckDB-oracle twins.
 """
@@ -48,38 +52,85 @@ def deterministic_sample(
     return df.where(F.md5(F.col(key).cast("string")) < F.lit(thr))
 
 
+def hash_bucket(col: str, n_buckets: int):
+    """Deterministic cross-engine hash bucket in ``[0, n_buckets)``: the
+    first two md5 hex chars of the value-as-string -> 0..255 -> modulo.
+    Built from string primitives BOTH Spark and DuckDB evaluate
+    identically (``instr``/``strpos`` over the hex alphabet), so oracle
+    SQL can replay the bucketing bit-for-bit — Spark's ``hash()`` is
+    murmur3, which external engines cannot reproduce."""
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    h = f"md5(cast(`{col}` as string))"
+    c = "instr('0123456789abcdef', substring({h}, {i}, 1)) - 1"
+    return F.expr(
+        f"pmod(({c.format(h=h, i=1)}) * 16 + {c.format(h=h, i=2)}, {n_buckets})"
+    )
+
+
 def pack_documents(
     documents: DataFrame,
     budget_tokens: int = 8192,
     by: str = "source",
     order_col: str = "doc_id",
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Assign each document to a ~``budget_tokens`` bin within its
     ``by`` group: bin_id = floor(exclusive-cumulative-tokens / budget)
-    over a deterministic ``order_col`` ordering.  Streaming quantized
-    packing — a document may straddle a budget boundary, but every bin
-    except the last holds >= budget tokens and bins average to the
-    budget; the assignment is a single window cumsum (one shuffle on the
-    group key), deterministic across runs and cluster sizes.
+    under the deterministic total order ``(hash_bucket(order_col),
+    order_col)``.  Floor binning never splits a document, so bins
+    AVERAGE to the budget; an individual bin can be under- or over-filled
+    when a document straddles its boundary.
+
+    Scale shape — two-level packing, no single-task-per-group window:
+    with the default ``by="source"`` a 100 TB corpus has a handful of
+    groups, and a plain cumsum window over ``partitionBy(group)`` would
+    sort each group's billions of rows in ONE task.  Instead docs hash
+    into ``n_buckets`` buckets per group, the cumsum window partitions by
+    ``(group, bucket)`` (max task = group/n_buckets; raise ``n_buckets``
+    up to 256 for bigger groups), and each bucket's global token offset —
+    the exclusive prefix-sum of per-bucket totals in bucket order, a tiny
+    groups x buckets aggregate — is broadcast-joined back.  The result is
+    IDENTICAL to a single exclusive-cumsum window over the
+    ``(bucket, order_col)`` total order (``n_buckets=1`` degenerates to
+    exactly the plain ``order_col`` window), deterministic across runs,
+    partitionings and cluster sizes.
 
     Returns (doc_id, group, n_tokens, bin_id)."""
     n_tokens = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+    base = documents.select(
+        "doc_id",
+        F.col(by).alias("group"),
+        n_tokens.alias("n_tokens"),
+        hash_bucket(order_col, n_buckets).alias("_bucket"),
+        F.col(order_col).alias("_ord"),
+    )
     w = (
-        Window.partitionBy("group")
-        .orderBy(order_col)
+        Window.partitionBy("group", "_bucket")
+        .orderBy("_ord")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        documents.select(
-            "doc_id", F.col(by).alias("group"), n_tokens.alias("n_tokens")
-        )
-        .withColumn(
-            "bin_id",
-            F.floor(
-                F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-                / F.lit(budget_tokens)
-            ),
-        )
+    cum = base.withColumn(
+        "_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    w_off = (
+        Window.partitionBy("group")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("group", "_bucket")
+        .agg(F.sum("n_tokens").alias("_btot"))
+        .withColumn("_boff", F.coalesce(F.sum("_btot").over(w_off), F.lit(0)))
+        .select("group", "_bucket", "_boff")
+    )
+    return cum.join(F.broadcast(offsets), ["group", "_bucket"]).select(
+        "doc_id",
+        "group",
+        "n_tokens",
+        F.floor((F.col("_boff") + F.col("_cum")) / F.lit(budget_tokens)).alias(
+            "bin_id"
+        ),
     )
 
 
@@ -124,22 +175,44 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select(*keep, redacted.alias(text_col), *counts)
 
 
-def corpus_profile(documents: DataFrame, by: str = "source") -> DataFrame:
-    """Per-group corpus QA statistics: doc count, token totals, exact
-    interpolated median/p95 token counts and mean char length.  One
-    map-side-combinable aggregation (the percentiles are exact —
-    appropriate for a profiling table; swap in approx_percentile for
-    ad-hoc exploration at extreme group cardinalities)."""
+def corpus_profile(
+    documents: DataFrame,
+    by: str = "source",
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-group corpus QA statistics: doc count, token totals,
+    median/p95 token counts and mean char length.  One
+    map-side-combinable aggregation.
+
+    Percentiles default to ``approx_percentile`` (Greenwald-Khanna, a
+    bounded ~O(accuracy)-size sketch per group) because the failure mode
+    of exact ``percentile`` is ROWS PER GROUP, not group cardinality: a
+    holistic aggregate buffers every per-group value in one aggregation
+    buffer, so a single source with 10^9 docs OOMs an executor no matter
+    how few groups exist.  ``exact=True`` keeps the exact interpolated
+    percentile for small/verified inputs (it is what the DuckDB
+    ``quantile_cont`` oracle twin replays)."""
     n_tokens = F.size(F.split(F.lower(F.trim("text")), r"\s+"))
     base = documents.select(
         F.col(by).alias("group"),
         n_tokens.alias("n_tokens"),
         F.length("text").alias("n_chars"),
     )
+    if exact:
+        p50 = F.expr("percentile(n_tokens, 0.5)")
+        p95 = F.expr("percentile(n_tokens, 0.95)")
+    else:
+        p50 = F.expr(f"approx_percentile(n_tokens, 0.5, {accuracy})").cast(
+            "double"
+        )
+        p95 = F.expr(f"approx_percentile(n_tokens, 0.95, {accuracy})").cast(
+            "double"
+        )
     return base.groupBy("group").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
-        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95_tokens"),
+        F.round(p50, 6).alias("p50_tokens"),
+        F.round(p95, 6).alias("p95_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )

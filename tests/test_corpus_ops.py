@@ -63,24 +63,83 @@ def test_deterministic_sample_reproducible_and_nested(spark):
     assert len(deterministic_sample(df, 1.0).collect()) == 2000
 
 
-def test_pack_documents_bins_average_to_budget(spark):
+def _ref_pack(rows, budget, n_buckets):
+    """Brute-force reference of the two-level packing formula: exclusive
+    cumsum over the (hash_bucket, doc_id) total order per group."""
+    import hashlib
+
+    def bucket(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % n_buckets
+
+    out = {}
+    by_group: dict = {}
+    for doc_id, group, n_tok in rows:
+        by_group.setdefault(group, []).append((bucket(doc_id), doc_id, n_tok))
+    for group, items in by_group.items():
+        cum = 0
+        for b, doc_id, n_tok in sorted(items):
+            out[doc_id] = cum // budget
+            cum += n_tok
+    return out
+
+
+def test_pack_documents_matches_two_level_formula(spark):
     from relation_extraction_using_llms_spark.operators.corpus import (
         pack_documents,
     )
 
-    rows = [(i, "src", "tok " * 10) for i in range(30)]  # 10 tokens each
+    rows = [(i, "src" if i % 3 else "alt", "tok " * (5 + i % 7)) for i in range(60)]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = pack_documents(docs, budget_tokens=25, by="source").collect()
-    by_doc = {r["doc_id"]: r for r in out}
-    assert by_doc[0]["bin_id"] == 0 and by_doc[0]["n_tokens"] == 10
-    # exclusive cumsum: doc i starts at 10*i tokens -> bin floor(10*i/25)
-    for i in range(30):
-        assert by_doc[i]["bin_id"] == (10 * i) // 25, i
+    expected = _ref_pack(
+        [(i, s, 5 + i % 7) for i, s, _ in rows], budget=25, n_buckets=16
+    )
+    assert {r["doc_id"]: r["bin_id"] for r in out} == expected
     # deterministic across repartitioning
     out2 = pack_documents(docs.repartition(5), budget_tokens=25).collect()
     assert {(r["doc_id"], r["bin_id"]) for r in out2} == {
         (r["doc_id"], r["bin_id"]) for r in out
     }
+    # n_buckets=1 degenerates to the plain doc_id-ordered window
+    one = pack_documents(docs, budget_tokens=25, n_buckets=1).collect()
+    src_ids = sorted(i for i, s, _ in rows if s == "src")
+    cum, want = 0, {}
+    for i in src_ids:
+        want[i] = cum // 25
+        cum += 5 + i % 7
+    assert {r["doc_id"]: r["bin_id"] for r in one if r["group"] == "src"} == want
+
+
+def test_pack_documents_never_one_task_per_group(spark):
+    """The scale contract: the cumsum window must partition by
+    (group, bucket), not group alone — one source's entire corpus in a
+    single window task is the 100 TB killer this operator exists to
+    avoid.  Assert the physical plan's window spec carries both keys and
+    that a single group's rows really spread across >1 bucket."""
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        hash_bucket,
+        pack_documents,
+    )
+
+    rows = [(i, "only", "tok tok tok") for i in range(64)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    packed = pack_documents(docs, budget_tokens=10, by="source")
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    # the row-level cumsum window is the one ordered by _ord; its
+    # partition spec must carry BOTH group and _bucket
+    win_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "_ord" in ln
+    ]
+    assert win_lines and all(
+        "group" in ln and "_bucket" in ln for ln in win_lines
+    ), plan
+    n_buckets_hit = docs.select(
+        hash_bucket("doc_id", 16).alias("b")
+    ).distinct().count()
+    assert n_buckets_hit > 1
 
 
 def test_corpus_profile_exact_stats(spark):
@@ -94,11 +153,35 @@ def test_corpus_profile_exact_stats(spark):
         (3, "b", "single"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    prof = {r["group"]: r for r in corpus_profile(docs).collect()}
+    prof = {r["group"]: r for r in corpus_profile(docs, exact=True).collect()}
     assert prof["a"]["n_docs"] == 2 and prof["a"]["total_tokens"] == 8
     assert prof["a"]["p50_tokens"] == 4.0  # interpolated median of {3, 5}
     assert prof["b"]["n_docs"] == 1 and prof["b"]["p50_tokens"] == 1.0
     assert prof["a"]["avg_chars"] == (13 + 23) / 2
+
+
+def test_corpus_profile_approx_default(spark, sf_dir):
+    """Default path is approx_percentile (bounded sketch — the exact
+    holistic percentile buffers every per-group value, the real 100 TB
+    failure mode).  On data far below the sketch accuracy the GK summary
+    picks an actual element with exact rank, so the approx p50/p95 must
+    sit within one value-step of the exact interpolated percentile."""
+    from relation_extraction_using_llms_spark.operators.corpus import (
+        corpus_profile,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    approx = {r["group"]: r for r in corpus_profile(docs).collect()}
+    exact = {r["group"]: r for r in corpus_profile(docs, exact=True).collect()}
+    assert set(approx) == set(exact)
+    for g in exact:
+        # identical non-percentile columns
+        for c in ("n_docs", "total_tokens", "avg_chars"):
+            assert approx[g][c] == exact[g][c], (g, c)
+        for c in ("p50_tokens", "p95_tokens"):
+            assert abs(approx[g][c] - exact[g][c]) <= max(
+                2.0, 0.02 * exact[g][c]
+            ), (g, c, approx[g][c], exact[g][c])
 
 
 def test_contaminated_docs_flags_eval_overlap(spark):
