@@ -302,6 +302,37 @@ def build_ivf_index(
     return IVFIndex(centroids, corpus_l)
 
 
+def save_ivf_index(index: IVFIndex, path: str, mode: str = "overwrite") -> None:
+    """Persist an ``IVFIndex`` to parquet so a nightly build serves many
+    query jobs across sessions (the natural completion of the
+    build/probe split): ``<path>/centroids`` holds the tiny quantizer
+    metadata; ``<path>/corpus`` holds the inverted lists written
+    ``partitionBy(list_id)`` — the layout a probe wants, because the
+    probe join keys on ``list_id`` and Spark's dynamic partition pruning
+    can then skip every unprobed list's files entirely (at
+    ``n_probe/n_lists`` selectivity that is most of the index)."""
+    index.centroids.write.mode(mode).parquet(f"{path}/centroids")
+    (
+        index.corpus.repartition("list_id")
+        .write.mode(mode)
+        .partitionBy("list_id")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    """Reload a ``save_ivf_index`` output.  ``list_id`` comes back as a
+    parquet partition column, so probes against the loaded index scan
+    only the probed lists' files."""
+    centroids = spark.read.parquet(f"{path}/centroids").select(
+        F.col("list_id").cast("int").alias("list_id"), "centroid"
+    )
+    corpus = spark.read.parquet(f"{path}/corpus").select(
+        "vec_id", "unit", F.col("list_id").cast("int").alias("list_id")
+    )
+    return IVFIndex(centroids, corpus)
+
+
 def ivf_probe(
     index: IVFIndex,
     queries: DataFrame,

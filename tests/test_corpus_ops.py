@@ -212,6 +212,53 @@ def test_contaminated_docs_flags_eval_overlap(spark):
     assert contaminated_docs(docs, evals, window=30).collect() == []
 
 
+def test_text_stats_parity_with_individual_functions(spark, sf_dir):
+    """text_stats (one projection, one scan) must equal the four
+    per-block functions joined on doc_id, column for column — the
+    consolidation is a plan-shape optimization, never a semantic one."""
+    from relation_extraction_using_llms_spark.functions.textstats import (
+        fingerprint,
+        language_id,
+        quality_score,
+        text_stats,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    combined = {r["doc_id"]: r.asDict() for r in text_stats(docs).collect()}
+    joined = (
+        token_count(docs)
+        .join(language_id(docs), "doc_id")
+        .join(quality_score(docs).drop("n_tokens"), "doc_id")
+        .join(fingerprint(docs), "doc_id")
+    )
+    expected = {r["doc_id"]: r.asDict() for r in joined.collect()}
+    assert set(combined) == set(expected)
+    for doc_id, row in expected.items():
+        got = combined[doc_id]
+        assert set(got) == set(row), doc_id
+        for col, val in row.items():
+            g = got[col]
+            if isinstance(val, float):
+                assert abs(g - val) < 1e-12, (doc_id, col, g, val)
+            else:
+                assert g == val, (doc_id, col, g, val)
+
+
+def test_text_stats_single_scan_no_join(spark, sf_dir):
+    """The consolidated query's plan: ONE parquet scan, zero joins —
+    four-scan/three-join recombination is exactly what it exists to
+    avoid."""
+    from relation_extraction_using_llms_spark.functions.textstats import (
+        text_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = text_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_redact_pii_scrubs_and_counts(spark):
     from relation_extraction_using_llms_spark.operators.corpus import redact_pii
 

@@ -571,3 +571,43 @@ def test_ivf_index_reuse_parity(spark, sf_dir):
             ).collect()
         }
         assert probed == oneshot and probed
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Probing a parquet-persisted index must equal probing the freshly
+    built one (the nightly-index-serves-many-jobs contract), and the
+    corpus must come back partitioned by list_id so probes can prune
+    unprobed lists' files."""
+    import os
+
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index = build_ivf_index(emb, n_lists=8, seed=7)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(index, path)
+    # one directory per inverted list on disk
+    parts = [d for d in os.listdir(f"{path}/corpus") if d.startswith("list_id=")]
+    assert len(parts) > 1, parts
+    loaded = load_ivf_index(spark, path)
+    batch = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    built = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_probe(index, batch, k=5, n_probe=4).collect()
+    }
+    reloaded = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in ivf_probe(loaded, batch, k=5, n_probe=4).collect()
+    }
+    assert reloaded == built and reloaded
+    # a direct filter on the partition column prunes at the scan
+    one_list = loaded.corpus.where(F.col("list_id") == 0)
+    plan = one_list._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(list_id" in plan.replace("#", "(#"), plan
