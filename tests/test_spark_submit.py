@@ -105,3 +105,53 @@ def test_rag_http_demo_end_to_end(tmp_path):
     assert got["rag_urls_with_context"] > 0
     assert got["sbert_tp"] + got["sbert_fp"] + got["sbert_fn"] > 0
     assert got["endpoint"].startswith("http://127.0.0.1:")
+
+
+def test_corpus_prep_end_to_end(tmp_path):
+    """The composed corpus-prep chain (quality -> PII -> dedup exact +
+    MinHash -> decontamination -> sample -> pack -> partitioned shards +
+    profile) must stay runnable as a plain python script: one JSON audit
+    line with monotone non-increasing survivor counts, and shards /
+    profile readable back without Spark."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "prep")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "corpus_prep.py"),
+            "--sf-dir", SF_DIR,
+            "--out", out,
+            "--fraction", "0.8",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),  # not the repo: the script must self-locate
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    got = json.loads(line)
+    chain = [
+        got["input"], got["after_quality"], got["after_exact_dedup"],
+        got["after_near_dedup"], got["after_decontamination"],
+        got["after_sample"],
+    ]
+    assert all(a >= b for a, b in zip(chain, chain[1:])), chain
+    assert got["after_sample"] < got["input"]  # the 0.8 sample bites
+    assert got["final_docs"] == got["after_sample"]
+    assert got["n_bins"] >= 1
+    assert got["profile"]  # at least one source group profiled
+    # shards are a real partitioned table, readable without Spark
+    groups = [d for d in os.listdir(f"{out}/packed") if d.startswith("group=")]
+    assert groups
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/packed/*/*.parquet')"
+    ).fetchone()[0]
+    assert n == got["final_docs"]
+    prof = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/profile/*.parquet')"
+    ).fetchone()[0]
+    assert prof == len(got["profile"])
