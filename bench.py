@@ -40,36 +40,66 @@ SCALING_MODELS = ["stub-small", "stub-large"]
 SCALING_REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "24"))
 
 
-def hardware_control_sec() -> float:
-    """Fixed single-process pure-Python workload (SequenceMatcher over
-    deterministic token lists, best-of-2), ~2.1 s on this box unthrottled.
-    Emitted as ``control_sec`` in the JSON line so any reader can
-    normalize a throttled/co-tenant sample: a uniform multiplier on every
-    pipeline stage that ALSO appears on this control is box state, not a
-    code regression (the r5 driver artifact's 1.9x could not be
-    distinguished without it)."""
+def _control_pass(args=None) -> float:
+    """Fixed pure-Python workload (SequenceMatcher over deterministic
+    token lists) — the shared body of both hardware controls.  Module
+    level so multiprocessing can pickle it."""
     import random
     from difflib import SequenceMatcher
 
-    def one_pass(reps: int = 8, n: int = 14000) -> float:
-        rng = random.Random(1234)
-        words = ["w%03d" % rng.randint(0, 400) for _ in range(n * 2)]
-        total = 0.0
-        for i in range(reps):
-            total += SequenceMatcher(None, words[i::2][:n], words[i + 1 :: 2][:n]).ratio()
-        return total
+    reps, n = args or (8, 14000)
+    rng = random.Random(1234)
+    words = ["w%03d" % rng.randint(0, 400) for _ in range(n * 2)]
+    total = 0.0
+    for i in range(reps):
+        total += SequenceMatcher(None, words[i::2][:n], words[i + 1 :: 2][:n]).ratio()
+    return total
 
+
+def hardware_control_sec() -> float:
+    """Single-process control wall (best-of-2), ~2.1 s on this box
+    unthrottled.  Emitted as ``control_sec`` in the JSON line so any
+    reader can normalize a throttled/co-tenant sample: a uniform
+    multiplier on every pipeline stage that ALSO appears on this control
+    is box state, not a code regression (the r5 driver artifact's 1.9x
+    could not be distinguished without it)."""
     best = float("inf")
     for _ in range(2):
         t0 = time.time()
-        one_pass()
+        _control_pass()
         best = min(best, time.time() - t0)
     return round(best, 3)
 
 
-# best-of-2 wall of hardware_control_sec() on this box on a known-good
-# (unthrottled, idle) day — the denominator for normalizing a sample
+def hardware_control_mc_sec(procs: int = 16) -> float:
+    """ALL-CORE control: the same workload in ``procs`` concurrent
+    processes; returns the wall of the slowest (best-of-2).  This box's
+    all-core turbo throttles independently of single-core speed — a
+    sample can read control_ratio ~1.0 (single core fine) while every
+    32-thread pipeline stage runs 1.2x slow.  control_mc_ratio catches
+    exactly that state; a stage multiplier mirrored by NEITHER control
+    is a genuine regression."""
+    from multiprocessing import get_context
+
+    best = float("inf")
+    with get_context("fork").Pool(procs) as pool:
+        pool.map(_control_pass, [(1, 2000)] * procs)  # warm the pool
+        for _ in range(2):
+            t0 = time.time()
+            pool.map(_control_pass, [(4, 14000)] * procs)
+            best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+# best-of-2 walls of the two controls on this box on a known-good
+# (unthrottled, idle) day — the denominators for normalizing a sample.
+# MC nominal is DERIVED, not yet observed on a good day: single-proc
+# (4,14000) ~= CONTROL_NOMINAL/2 = 1.05 s, and the measured per-proc
+# all-core slowdown at 16 procs is 1.25-1.35x across throttled samples
+# (2026-08-17: mc16/single-half = 1.25, 1.35) -> ~1.35 s.  Refine when a
+# control_ratio ~1.0 day produces a direct mc16 sample.
 CONTROL_NOMINAL_SEC = 2.1
+CONTROL_MC_NOMINAL_SEC = 1.35
 
 
 def corpus_dir(sf_dir: str, replicas: int = 1) -> str:
@@ -343,6 +373,7 @@ def main():
         print(json.dumps({"materialized": out}))
         return
     control = hardware_control_sec()
+    control_mc = hardware_control_mc_sec()
     times = run_once(f"local[{CPUS}]", max(8, int(CPUS)))
     n_triples = times.pop("_n_triples")
     pipeline_sec = (
@@ -366,6 +397,14 @@ def main():
         "control_sec": control,
         "control_nominal_sec": CONTROL_NOMINAL_SEC,
         "control_ratio": round(control / CONTROL_NOMINAL_SEC, 3),
+        # all-core control: same workload across 16 concurrent processes.
+        # This box's all-core turbo throttles independently of single-core
+        # speed, so control_ratio ~1.0 with control_mc_ratio ~1.2 means
+        # "multi-threaded stages run ~1.2x slow, single-threaded fine".
+        # A stage multiplier mirrored by NEITHER control is a regression.
+        "control_mc_sec": control_mc,
+        "control_mc_nominal_sec": CONTROL_MC_NOMINAL_SEC,
+        "control_mc_ratio": round(control_mc / CONTROL_MC_NOMINAL_SEC, 3),
     }
     if scaling:
         # fresh JVMs per level; same input all runs.  The N -> 4N pair is
@@ -375,6 +414,11 @@ def main():
         # engine, not the silicon's frequency curve.  8/32 reported too.
         for level in SCALE_LEVELS:
             level_control = hardware_control_sec()
+            # per-level all-core control: N procs each doing FIXED work, so
+            # a flat wall across levels == perfect hardware scaling; the
+            # level-L/level-4 wall ratio IS the same-day silicon ceiling
+            # that scaling-efficiency claims must be normalized by.
+            level_control_mc = hardware_control_mc_sec(procs=level)
             t = run_once(f"local[{level}]", level, scaling=True)
             nt = t.pop("_n_triples")
             sec = (t["q_extract"] + t["q_parse"] + t["q_catalog"]
@@ -385,6 +429,7 @@ def main():
                 "stages": {k: v for k, v in t.items() if k.startswith("q_")},
                 "n_triples": nt,
                 "control_sec": level_control,
+                "control_mc_sec": level_control_mc,
             }
         tps = {
             lv: result[f"scaling_local{lv}"]["triples_per_sec"]
@@ -394,6 +439,15 @@ def main():
             result["scaling_efficiency_4_to_16"] = round(tps[16] / (4 * tps[4]), 3)
         if 8 in tps and 32 in tps and tps[8]:
             result["scaling_efficiency_8_to_32"] = round(tps[32] / (4 * tps[8]), 3)
+        mc = {
+            lv: result[f"scaling_local{lv}"].get("control_mc_sec")
+            for lv in SCALE_LEVELS
+        }
+        # hardware ceiling for each efficiency pair: fixed work per proc, so
+        # perfect silicon holds the wall flat; ceiling = wall(N)/wall(4N)
+        for lo, hi in ((4, 16), (8, 32), (2, 8)):
+            if mc.get(lo) and mc.get(hi):
+                result[f"control_ceiling_{lo}_to_{hi}"] = round(mc[lo] / mc[hi], 3)
     print(json.dumps(result))
 
 
