@@ -591,12 +591,37 @@ def q_dedup_exact_prefix(spark, sf_dir):
     return ex.unionByName(pre)
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    from relation_extraction_using_llms_spark.operators.dedup import ngram_jaccard_pairs
+def q_dedup_jaccard_clusters(spark, sf_dir):
+    """Exact n-gram-Jaccard duplicate pairs PLUS their transitive closure
+    into keep/drop clusters, one driver row (consolidation rule: both
+    ride the same shingle self-join scan).  kind='pair' rows are the raw
+    (doc_a, doc_b, jaccard) pairs (the former dedup_ngram_jaccard
+    output); kind='cluster' rows are corpus-wide (doc_id, cluster_id,
+    keep) from duplicate_clusters — hash-to-min connected components
+    over the pair graph, cluster = min doc_id, keeper = the min.  The
+    DuckDB twin re-derives the pairs AND the components (RECURSIVE CTE
+    min-label propagation), so the one iterative dedup algorithm gets
+    the same hard cross-engine check canonical_triples gives entity CC."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
 
-    return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.5
-    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.round("jaccard", 6).alias("score"),
+    )
+    cluster_rows = duplicate_clusters(docs, pairs).select(
+        F.lit("cluster").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("cluster_id").alias("b"),
+        F.col("keep").cast("double").alias("score"),
+    )
+    return pair_rows.unionByName(cluster_rows)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -637,17 +662,43 @@ def q_corpus_pack(spark, sf_dir):
     return pack_documents(_docs(spark, sf_dir), budget_tokens=1000, by="source")
 
 
-def q_corpus_sample(spark, sf_dir):
-    """Deterministic hash-threshold sampling (20%): membership depends
-    only on md5(doc_id) vs an exact hex threshold, so the DuckDB twin
-    selects the identical rows."""
+_MIX_WEIGHTS = {"src0": 5, "src1": 1, "src2": 2}
+_MIX_TARGET_TOKENS = 2000
+
+
+def q_corpus_sampling(spark, sf_dir):
+    """Both deterministic sampling primitives in one driver row
+    (consolidation rule: same documents scan).  kind='sample' rows are
+    the former corpus_sample output — a flat 20% md5-threshold sample.
+    kind='mix' rows are mix_sources: per-source fractions derived from a
+    weighted token budget (5:1:2 over src0/src1/src2, 2000 tokens), the
+    corpus-mixing step of a training pipeline.  The mix fractions are
+    data-dependent doubles; the oracle replays the IDENTICAL IEEE
+    expression tree (each step one correctly-rounded op), so fractions
+    and therefore keep sets agree bit-for-bit — see mix_sources."""
     from relation_extraction_using_llms_spark.operators.corpus import (
         deterministic_sample,
+        mix_sources,
     )
 
-    return deterministic_sample(_docs(spark, sf_dir), 0.2).select(
-        "doc_id", "source"
+    docs = _docs(spark, sf_dir)
+    sample_rows = deterministic_sample(docs, 0.2).select(
+        F.lit("sample").alias("kind"),
+        "doc_id",
+        F.col("source").alias("grp"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("double").alias("sample_frac"),
     )
+    mix_rows = mix_sources(
+        docs, _MIX_WEIGHTS, target_tokens=_MIX_TARGET_TOKENS
+    ).select(
+        F.lit("mix").alias("kind"),
+        "doc_id",
+        F.col("group").alias("grp"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "sample_frac",
+    )
+    return sample_rows.unionByName(mix_rows)
 
 
 def q_corpus_profile(spark, sf_dir):
@@ -1613,11 +1664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replaced two dedup rows at zero evidence loss, which is what
         # made room for the four corpus-management oracles below.
         "dedup_exact_prefix": q_dedup_exact_prefix,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_jaccard_clusters": q_dedup_jaccard_clusters,
         "dedup_repeated_passages": q_dedup_repeated_passages,
         "dedup_embedding": q_dedup_embedding,
         "corpus_pack": q_corpus_pack,
-        "corpus_sample": q_corpus_sample,
+        "corpus_sampling": q_corpus_sampling,
         "corpus_profile": q_corpus_profile,
         "contamination": q_contamination,
         "redact_pii": q_redact_pii,
@@ -2593,8 +2644,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, min(doc_id) AS canonical_doc_id
             FROM documents GROUP BY 2 HAVING count(*) > 1
         """,
-        "dedup_ngram_jaccard": """
-            WITH toks AS (
+        # pairs re-derived from the shingle join, clusters re-derived from
+        # the pairs via RECURSIVE min-label propagation (same pattern as
+        # canonical_triples) — closed-form check of the iterative dedup CC
+        "dedup_jaccard_clusters": """
+            WITH RECURSIVE toks AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
               FROM documents
             ), sh AS (
@@ -2606,17 +2660,39 @@ def oracle_sql() -> dict[str, str]:
                 SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 200)
             ), sizes AS (
               SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1
-            ), pairs AS (
+            ), shared_c AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
               FROM kept a JOIN kept b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b,
+                     shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+              FROM shared_c
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+            ), sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM sym
+            ), walk(node, label) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.dst, w.label FROM walk w JOIN sym s ON w.node = s.src
+            ), cc AS (
+              SELECT node, min(label) AS canonical FROM walk GROUP BY node
+            ), clusters AS (
+              SELECT d.doc_id, coalesce(cc.canonical, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
             )
-            SELECT doc_a, doc_b,
-                   round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+            SELECT 'pair' AS kind, doc_a AS a, doc_b AS b,
+                   round(jaccard, 6) AS score
             FROM pairs
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.5
+            UNION ALL
+            SELECT 'cluster', doc_id, cluster_id,
+                   CAST(doc_id = cluster_id AS DOUBLE)
+            FROM clusters
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -2662,9 +2738,41 @@ def oracle_sql() -> dict[str, str]:
                      0) / 1000.0) AS BIGINT) AS bin_id
             FROM t
         """,
-        "corpus_sample": f"""
-            SELECT doc_id, source FROM documents
+        # 'mix' side mirrors mix_sources' IEEE expression tree exactly
+        # (each step one correctly-rounded double op) and parses the
+        # 13-hex-digit (52-bit, double-exact) uniform via DuckDB's
+        # '0x'-cast — Spark's conv(…,16,10) twin
+        "corpus_sampling": f"""
+            WITH base AS (
+              SELECT doc_id, source AS grp,
+                     len(string_split_regex(lower(trim(text)), '\\s+'))
+                         AS n_tokens
+              FROM documents
+              WHERE source IN ({", ".join(f"'{s}'" for s in _MIX_WEIGHTS)})
+            ), totals AS (
+              SELECT grp, sum(n_tokens) AS gtok FROM base GROUP BY 1
+            ), wmap AS (
+              SELECT * FROM (VALUES
+                {", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS.items())}
+              ) AS t(grp, w)
+            ), fr AS (
+              SELECT b.*, least(1.0,
+                  (CAST({_MIX_TARGET_TOKENS} AS DOUBLE) * w
+                     / {sum(_MIX_WEIGHTS.values())})
+                  / CAST(gtok AS DOUBLE)) AS frac
+              FROM base b JOIN totals USING (grp) JOIN wmap USING (grp)
+            )
+            SELECT 'sample' AS kind, doc_id, source AS grp,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS DOUBLE) AS sample_frac
+            FROM documents
             WHERE md5(CAST(doc_id AS VARCHAR)) < '{_hex_threshold(0.2)}'
+            UNION ALL
+            SELECT 'mix', doc_id, grp, n_tokens, round(frac, 6)
+            FROM fr
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                       AS BIGINT)
+                  < frac * 4503599627370496.0
         """,
         "redact_pii": _redact_pii_sql(),
         "contamination": f"""

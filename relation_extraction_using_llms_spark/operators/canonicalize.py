@@ -37,7 +37,10 @@ def connected_components(
     large-star/small-star on undirected graphs; every iteration is one
     groupBy + one join, both AQE-managed.
     """
-    sym = _symmetric(edges)
+    # checkpoint the symmetric edge set ONCE: it is re-joined every
+    # iteration, and without this a live upstream DAG (e.g. a dedup
+    # pair generator's shingle self-join) would re-execute per round
+    sym = _symmetric(edges).localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     # initial pointer: min(self, min neighbor)
     labels = (

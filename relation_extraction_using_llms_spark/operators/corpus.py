@@ -216,3 +216,67 @@ def corpus_profile(
         F.round(p95, 6).alias("p95_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+def mix_sources(
+    documents: DataFrame,
+    weights: dict[str, int],
+    target_tokens: int,
+    by: str = "source",
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Down-sample each ``by`` group to hit a weighted token budget — the
+    corpus-mixing step that turns raw source dumps into a training mix
+    ("5 parts web to 1 part wiki, 10B tokens total").
+
+    Per group g: target_g = target_tokens * w_g / sum(w); sampling
+    fraction = min(1, target_g / tokens_g); membership is the same
+    deterministic hash test as ``deterministic_sample`` (uniform in
+    [0,1) from the first 13 md5 hex digits of ``key`` — 52 bits, exact
+    in IEEE double for Spark and any oracle engine), so the mix is
+    reproducible across runs, partitionings and cluster sizes, and
+    raising the budget grows each group's sample as a SUPERSET.  Groups
+    absent from ``weights`` are dropped.  Expected realized tokens per
+    group = target_g (exact only in expectation — hash sampling is
+    per-document).
+
+    Scale shape: ONE map-side-combinable groupBy over the corpus for
+    per-group token totals (|groups| rows, broadcast-joined back), then
+    a pure-JVM filter; fully lazy, no driver action, no skew risk.
+
+    Returns sampled rows: (doc_id, group, n_tokens, sample_frac).
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: int} dict")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be >= 0 with a positive sum: {weights}")
+    w_total = sum(weights.values())
+    base = documents.select(
+        F.col(key).alias("doc_id"),
+        F.col(by).alias("group"),
+        F.size(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("n_tokens"),
+    ).where(F.col("group").isin(*weights.keys()))
+    totals = base.groupBy("group").agg(F.sum("n_tokens").alias("_gtok"))
+    weight_map = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    # mirror-exact fraction: every step below is a single correctly-rounded
+    # IEEE double op; oracle SQL replays the identical expression tree, so
+    # the fractions (and therefore the keep sets) agree bit-for-bit
+    frac = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_tokens)) * weight_map[F.col("group")] / F.lit(w_total))
+        / F.col("_gtok").cast("double"),
+    )
+    # uniform [0,1)-scaled integer: first 13 md5 hex digits = 52 bits,
+    # exactly representable in double on both engines
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    )
+    return (
+        base.join(F.broadcast(totals), "group")
+        .withColumn("_frac", frac)
+        .where(u < F.col("_frac") * F.lit(float(1 << 52)))
+        .select("doc_id", "group", "n_tokens", F.round("_frac", 6).alias("sample_frac"))
+    )

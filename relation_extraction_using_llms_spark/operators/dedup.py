@@ -601,3 +601,49 @@ def _embedding_near_dup_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Close any pair relation into clusters and elect one keeper per
+    cluster: ``pairs(doc_a, doc_b)`` from ANY generator in this module
+    -> ``(doc_id, cluster_id, keep)`` over the WHOLE corpus.
+
+    Near-dup "pairs" are not transitive (A~B, B~C but A!~C), yet a dedup
+    decision must be: keeping both A and C because they never paired
+    directly still leaves B's duplicates in the corpus twice.  The
+    standard closure is connected components over the pair graph
+    (canonicalize.connected_components — iterated hash-to-min, O(log n)
+    groupBy+join rounds); cluster_id = min doc_id of the component,
+    keeper = the cluster id itself.  Docs in no pair are their own
+    singleton cluster (left join + coalesce, no shuffle of the corpus
+    beyond the join).
+
+    Scale: the CC input is only the PAIRED docs (bounded by the capped
+    pair generators, a small fraction of the corpus); the corpus-wide
+    left join against that small mapping is broadcastable by AQE.
+    """
+    from .canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        documents.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def dedup_corpus(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The deduplicated corpus: documents filtered to cluster keepers
+    (min doc_id per connected component of ``pairs``).  Same columns as
+    ``documents``."""
+    keepers = duplicate_clusters(documents, pairs).where(F.col("keep"))
+    return documents.join(keepers.select("doc_id"), "doc_id", "left_semi")

@@ -278,3 +278,38 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert set(out[1].asDict()) == {
         "doc_id", "source", "text", "n_email", "n_ip", "n_phone"
     }
+
+
+def test_mix_sources_weighted_budget(spark):
+    """mix_sources keep set replayed exactly in python (md5 13-hex uniform
+    vs the IEEE fraction), weighted targets honored, unweighted sources
+    dropped, frac capped at 1.0 keeps every row."""
+    import hashlib
+
+    from relation_extraction_using_llms_spark.operators.corpus import mix_sources
+
+    rows = [
+        (i, "a" if i < 200 else ("b" if i < 300 else "x"), "tok " * 9 + "end")
+        for i in range(350)
+    ]  # 10 tokens/doc: a=2000 tokens, b=1000, x unweighted
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_sources(docs, {"a": 3, "b": 1}, target_tokens=800).collect()
+    assert {r["group"] for r in out} <= {"a", "b"}
+    # frac_a = (800*3/4)/2000 = 0.3, frac_b = (800*1/4)/1000 = 0.2
+    fracs = {r["group"]: r["sample_frac"] for r in out}
+    assert fracs == {"a": 0.3, "b": 0.2}
+
+    def u(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:13], 16)
+
+    expect = {
+        i for i, s, _ in rows
+        if (s == "a" and u(i) < 0.3 * 2**52) or (s == "b" and u(i) < 0.2 * 2**52)
+    }
+    assert {r["doc_id"] for r in out} == expect
+    assert all(r["n_tokens"] == 10 for r in out)
+
+    # budget above the corpus: fraction capped at 1.0, everything kept
+    full = mix_sources(docs, {"a": 1}, target_tokens=10**9).collect()
+    assert len(full) == 200 and all(r["sample_frac"] == 1.0 for r in full)

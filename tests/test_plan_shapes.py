@@ -78,7 +78,7 @@ def test_no_row_python_udfs_in_headline_plans(spark, sf_dir):
     pandas UDFs) only."""
     import __spark_entry__ as entry_mod
 
-    for name in ["text_stats", "dedup_ngram_jaccard", "events_sessions",
+    for name in ["text_stats", "dedup_jaccard_clusters", "events_sessions",
                  "match_metrics_sql", "top_tokens_per_source"]:
         plan = _plan(entry_mod.queries()[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, (name, plan)

@@ -611,3 +611,29 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     one_list = loaded.corpus.where(F.col("list_id") == 0)
     plan = one_list._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(list_id" in plan.replace("#", "(#"), plan
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """Near-dup pairs are not transitive; the cluster operator must close
+    them: A~B, B~C (no A~C pair) -> one cluster keeping min(A,B,C), and
+    unpaired docs stay singleton keepers."""
+    from relation_extraction_using_llms_spark.operators.dedup import (
+        dedup_corpus,
+        duplicate_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"text {i}") for i in range(1, 7)],
+        "doc_id long, source string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r for r in duplicate_clusters(docs, pairs).collect()}
+    assert len(got) == 6
+    assert {got[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert got[4]["cluster_id"] == 4 and got[4]["keep"]
+    assert {got[i]["cluster_id"] for i in (5, 6)} == {5}
+    assert [i for i in got if got[i]["keep"]] == [1, 4, 5]
+    kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
+    assert kept == [1, 4, 5]
