@@ -6,8 +6,10 @@ pipeline runs before serialization, the way scripts/rag_http_demo.py
 closes the serving story.
 
     quality filter -> PII redaction -> exact dedup -> MinHash near-dedup
-    -> benchmark decontamination -> deterministic sample -> sequence
-    packing -> partitioned parquet shards + per-source QA profile
+    (cluster closure, keep one per component) -> benchmark
+    decontamination -> deterministic sample -> optional weighted source
+    mixing -> sequence packing -> partitioned parquet shards +
+    per-source QA profile
 
     python scripts/corpus_prep.py --sf-dir /root/testdata/sf0.001 \
         --out /tmp/corpus_prep_out
@@ -56,6 +58,11 @@ def main() -> None:
     ap.add_argument("--fraction", type=float, default=1.0,
                     help="deterministic sample fraction of the cleaned "
                     "corpus")
+    ap.add_argument("--mix", default=None,
+                    help="weighted source mix, e.g. 'src0:5,src1:1' — "
+                    "down-samples each listed source to its share of "
+                    "--mix-target-tokens and drops unlisted sources")
+    ap.add_argument("--mix-target-tokens", type=int, default=10_000)
     ap.add_argument("--budget-tokens", type=int, default=512)
     ap.add_argument("--shuffle-partitions", type=int, default=8)
     args = ap.parse_args()
@@ -77,11 +84,13 @@ def main() -> None:
     from relation_extraction_using_llms_spark.operators.corpus import (
         corpus_profile,
         deterministic_sample,
+        mix_sources,
         pack_documents,
         redact_pii,
     )
     from relation_extraction_using_llms_spark.operators.dedup import (
         contaminated_docs,
+        dedup_corpus,
         minhash_lsh_pairs,
     )
     from relation_extraction_using_llms_spark.sources.tables import write_table
@@ -119,13 +128,14 @@ def main() -> None:
     )
     counts["after_exact_dedup"] = docs.count()
 
-    # 4) near-dedup: drop the greater member of each MinHash pair
-    #    (capped banded LSH — never all-pairs).  Chains collapse to the
-    #    smallest id transitively reachable by repeated pruning; one
-    #    pass is the standard streaming-prep approximation.
+    # 4) near-dedup: close the MinHash pair graph (capped banded LSH —
+    #    never all-pairs) into clusters and keep one doc per cluster.
+    #    Pairs are not transitive, so dropping pair members directly
+    #    under-deletes (A~B, B~C with no A~C pair keeps both A and C
+    #    while B's duplicates stay twice); connected components gives
+    #    the exact closure in O(log n) groupBy+join rounds.
     near = minhash_lsh_pairs(docs, jaccard_threshold=args.jaccard)
-    drop_ids = near.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs = docs.join(drop_ids, "doc_id", "left_anti")
+    docs = dedup_corpus(docs, near)
     counts["after_near_dedup"] = docs.count()
 
     # 5) benchmark decontamination: anti-join docs sharing any n-token
@@ -159,6 +169,19 @@ def main() -> None:
         docs = deterministic_sample(docs, args.fraction)
     counts["after_sample"] = docs.count()
 
+    # 6b) optional source mixing: down-sample each source to a weighted
+    #     token budget ("5 parts web to 1 part wiki") — one tiny
+    #     broadcast agg + a pure-JVM hash filter, reproducible at any
+    #     cluster size.
+    if args.mix:
+        weights = {
+            s: int(w)
+            for s, w in (kv.split(":") for kv in args.mix.split(","))
+        }
+        mixed = mix_sources(docs, weights, target_tokens=args.mix_target_tokens)
+        docs = docs.join(mixed.select("doc_id"), "doc_id", "left_semi")
+        counts["after_mix"] = docs.count()
+
     # 7) sequence packing: ~budget-token bins per source (two-level
     #    cumsum — no single-task-per-group window), then the packed
     #    corpus ships as parquet partitioned by group for shard-local
@@ -174,7 +197,7 @@ def main() -> None:
     # 8) QA profile of what shipped.
     profile = corpus_profile(spark.read.parquet(f"{args.out}/packed"))
     write_table(profile, f"{args.out}/profile", fmt="parquet")
-    counts["final_docs"] = counts["after_sample"]
+    counts["final_docs"] = counts.get("after_mix", counts["after_sample"])
     counts["profile"] = {
         r["group"]: {"n_docs": r["n_docs"], "total_tokens": r["total_tokens"]}
         for r in profile.collect()

@@ -124,6 +124,8 @@ def test_corpus_prep_end_to_end(tmp_path):
             "--sf-dir", SF_DIR,
             "--out", out,
             "--fraction", "0.8",
+            "--mix", "src0:3,src1:1,src2:1,src3:1",
+            "--mix-target-tokens", "4000",
         ],
         capture_output=True,
         text=True,
@@ -136,11 +138,12 @@ def test_corpus_prep_end_to_end(tmp_path):
     chain = [
         got["input"], got["after_quality"], got["after_exact_dedup"],
         got["after_near_dedup"], got["after_decontamination"],
-        got["after_sample"],
+        got["after_sample"], got["after_mix"],
     ]
     assert all(a >= b for a, b in zip(chain, chain[1:])), chain
     assert got["after_sample"] < got["input"]  # the 0.8 sample bites
-    assert got["final_docs"] == got["after_sample"]
+    assert got["after_mix"] < got["after_sample"]  # unlisted sources drop
+    assert got["final_docs"] == got["after_mix"]
     assert got["n_bins"] >= 1
     assert got["profile"]  # at least one source group profiled
     # shards are a real partitioned table, readable without Spark
