@@ -170,3 +170,31 @@ def incremental_catalog_updates(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_exact(
+    doc_stream: DataFrame,
+    ts_col: str = "warc_ts",
+    watermark: str = "24 hours",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup-on-ingest: drop re-crawled byte-identical pages as they
+    arrive — the streaming twin of ``operators.dedup.exact_duplicates``.
+
+    ``dropDuplicatesWithinWatermark`` keys on md5(text), so the state
+    store holds one 32-char fingerprint per distinct page seen within
+    the watermark horizon and Spark EXPIRES keys older than the
+    watermark — bounded state no matter how long the stream runs, which
+    is the property a 10^12-page crawl needs (a plain ``dropDuplicates``
+    on a stream keeps every key forever).  Pages whose identical text
+    re-arrives later than the horizon are re-admitted: downstream batch
+    dedup (this module's batch twins) catches those, so the horizon
+    trades state size against how much the batch pass has left to do.
+
+    Emits the surviving rows with their fingerprint (``text_hash``).
+    """
+    return (
+        doc_stream.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )

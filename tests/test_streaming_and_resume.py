@@ -256,3 +256,56 @@ def test_session_boundary_exact_gap_agreement(spark):
         (F.sum("ns") + 1).alias("n")
     ).collect()[0]["n"]
     assert n_sessions == 1
+
+
+def test_stream_dedup_exact_drops_recrawls_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup-on-ingest: a byte-identical
+    re-crawl in a later micro-batch is dropped (fingerprint still in
+    state), distinct texts all survive, and the survivor set carries the
+    md5 fingerprint column."""
+    from relation_extraction_using_llms_spark.streaming.ingest import (
+        stream_dedup_exact,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    out = str(tmp_path / "out_dedup")
+    schema = "url string, warc_ts timestamp, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup_exact(stream, watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["url"] for r in spark.read.parquet(out).collect())
+
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    batch1 = [
+        ("u1", t0, "alpha page"),
+        ("u2", t0 + timedelta(minutes=1), "beta page"),
+        ("u2b", t0 + timedelta(minutes=2), "beta page"),  # same-batch dup
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert drain() == ["u1", "u2"]
+
+    # re-crawl of 'alpha page' 10 min later: inside the horizon, dropped;
+    # a genuinely new page survives
+    batch2 = [
+        ("u1-recrawl", t0 + timedelta(minutes=10), "alpha page"),
+        ("u3", t0 + timedelta(minutes=11), "gamma page"),
+    ]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    assert drain() == ["u1", "u2", "u3"]
