@@ -393,7 +393,16 @@ def _resolve_packed(pred_df, packed_df, fuzzy_threshold: float = 0.7):
     resolved = work.mapInPandas(
         fn, schema="url string, mention_ids map<string,string>"
     )
-    from pyspark.sql import functions as F2  # noqa: F401
+    # Join-back layout: the resolved side is one url-grain map row per
+    # document — when the prediction input is CONFIDENTLY small (the same
+    # stats gate that routes auto-mode here; a pure plan inspection, never
+    # a job) broadcast it, so the prediction side is not shuffled/sorted
+    # at all (post-UDF stats are unknown, so Catalyst would otherwise
+    # plan a SortMergeJoin).  Large explicit mode="packed" callers keep
+    # the shuffle join — a broadcast there could OOM the driver.
+    est, confident = _estimated_rows_ex(pred_df, min_bytes_per_row=2)
+    if confident and est is not None and est <= 500_000:
+        resolved = F.broadcast(resolved)
     from ..schemas import PREDICTED
 
     out = (

@@ -215,20 +215,47 @@ def lsh_topk(
     cb = _rp_bucket_entries(embeddings, id_col, "vec_id", projections, bucket_length)
     qb = _rp_bucket_entries(queries, query_id_col, "query_id", projections, bucket_length)
     cand = qb.join(cb, ["t", "b"]).select("query_id", "vec_id").distinct()
+    # Norms are precomputed ONCE PER VECTOR before the candidate join (the
+    # brute_force_topk layout).  Computing the full guarded cosine at
+    # candidate grain let the optimizer push the `>= min_cos` filter into
+    # the join condition and then re-evaluate the projection — interpreted
+    # HOF norms ran up to 8x per candidate row (2 in the CASE guard, 2 in
+    # its THEN branch, twice over for condition + projection; measured
+    # 1.15s -> 0.76s at sf0.1 by hoisting them).  The expressions are
+    # bit-identical to _exact_cosine's (cast-to-double before squaring),
+    # so scores are unchanged.
+    normd = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
     corpus_v = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col("embedding").alias("c_emb")
+        F.col(id_col).alias("vec_id"),
+        F.col("embedding").alias("c_emb"),
+        normd("embedding").alias("c_norm"),
     )
     q_v = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col(query_id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        normd("embedding").alias("q_norm"),
     )
     min_cos = 1.0 - candidate_distance * candidate_distance / 2.0
+    nprod = F.col("q_norm") * F.col("c_norm")
     scored = (
         cand.join(q_v, "query_id")
         .join(corpus_v, "vec_id")
         .select(
             "query_id",
             "vec_id",
-            _exact_cosine("q_emb", "c_emb").alias("cosine"),
+            (
+                _DOT(
+                    F.transform("q_emb", lambda x: x.cast("double")),
+                    F.transform("c_emb", lambda x: x.cast("double")),
+                )
+                / F.when(nprod > 0, nprod)
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cos)
     )

@@ -28,6 +28,17 @@ def tuned_conf(shuffle_partitions: int = 32) -> dict:
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # ObjectHashAggregate (every collect_list/collect_set packing stage:
+        # eval input packing, resolve candidate packing, catalog partials)
+        # falls back to SORT-based aggregation after only 128 distinct keys
+        # per task by default — our packing aggregates routinely hold a few
+        # thousand url-grain keys per task with small, bounded buffers, and
+        # the sort fallback was measured ~15% slower on the eval/resolve
+        # packing stages (guide §2.3: prefer hash aggregation while the
+        # per-task state fits).  Buffer growth stays bounded: every
+        # collect_* in this engine aggregates per-url or per-entity arrays
+        # that are capped upstream (top-k slices, per-doc candidate sets).
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "65536",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.ui.showConsoleProgress": "false",
