@@ -342,6 +342,11 @@ def save_ivf_index(index: IVFIndex, path: str, mode: str = "overwrite") -> None:
     (
         index.corpus.repartition("list_id")
         .write.mode(mode)
+        # pin static overwrite: under a session-level dynamic
+        # partitionOverwriteMode, re-saving an index with fewer lists
+        # would leave stale list_id=* partitions that load_ivf_index
+        # silently merges into the new index, corrupting probes
+        .option("partitionOverwriteMode", "static")
         .partitionBy("list_id")
         .parquet(f"{path}/corpus")
     )

@@ -313,3 +313,48 @@ def test_mix_sources_weighted_budget(spark):
     # budget above the corpus: fraction capped at 1.0, everything kept
     full = mix_sources(docs, {"a": 1}, target_tokens=10**9).collect()
     assert len(full) == 200 and all(r["sample_frac"] == 1.0 for r in full)
+
+
+def test_corpus_prep_chain_counts_are_linear(spark, sf_dir, tmp_path):
+    """The prep chain's per-stage audit counts must NOT re-execute the
+    upstream chain per count (the r6 scale-killer: the MinHash self-join
+    and CC closure recomputed ~4x).  The source is instrumented with an
+    accumulator counting every row that leaves it: with per-stage
+    localCheckpoints the source executes a small constant number of
+    times (1x for the input count + up to 2x inside the quality gate's
+    self-join, all before the first checkpoint); without checkpoints it
+    re-executes for every downstream stage."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from scripts.corpus_prep import run_chain
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = base.count()
+
+    def instrumented():
+        acc = spark.sparkContext.accumulator(0)
+
+        def count_rows(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        return base.mapInPandas(count_rows, schema=base.schema), acc
+
+    docs, acc = instrumented()
+    run_chain(spark, docs, out=str(tmp_path / "ckpt"))
+    checkpointed_reads = acc.value
+    assert 0 < checkpointed_reads <= 4 * n, (
+        f"source executed {checkpointed_reads / n:.1f}x with checkpoints"
+    )
+
+    # the regression detector detects: a pass-through "checkpoint"
+    # re-executes the source once per downstream stage
+    docs, acc = instrumented()
+    run_chain(
+        spark, docs, out=str(tmp_path / "nockpt"), checkpoint=lambda df: df
+    )
+    assert acc.value > checkpointed_reads, (
+        f"instrumentation failed to detect recompute: {acc.value} rows"
+    )

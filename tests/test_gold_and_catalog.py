@@ -195,7 +195,12 @@ def test_full_catalog_hot_entity_skew(spark):
             "char_offset": 0, "length": 4}])],
         docs.schema,
     )
-    cat = {r["entity_id"]: r for r in full_catalog(docs.unionByName(tail)).collect()}
+    # pin the salted path: this test exists to exercise the Zipfian-safe
+    # two-phase shape (auto would route this small input direct)
+    cat = {
+        r["entity_id"]: r
+        for r in full_catalog(docs.unionByName(tail), mode="salted").collect()
+    }
     hot = cat["HOT"]
     assert hot["mention_count"] == 2000 * 50
     assert len(hot["common_mentions"]) == 10
@@ -276,3 +281,38 @@ def test_eval_cube_marginals_consistent(spark, sf_dir):
     ]
     assert per_strategy
     assert sum(r["total_fn"] for r in per_strategy) == grand[0]["total_fn"]
+
+
+def test_full_catalog_direct_equals_salted(spark, sf_dir):
+    """The stats-routed direct path (one groupBy to entity grain) must
+    equal the salted two-phase path row-for-row — same slice/sort
+    algebra, so only ``exact_forms`` array ORDER may differ (it is
+    set-semantic in every consumer and nondeterministic in both paths;
+    compared here as a sorted set)."""
+    from relation_extraction_using_llms_spark.operators.entity_catalog import (
+        full_catalog,
+    )
+    from relation_extraction_using_llms_spark.sources.synthetic import (
+        gold_entities_df,
+    )
+
+    ents = gold_entities_df(spark, sf_dir)
+
+    def norm(df):
+        return sorted(
+            (
+                r["entity_id"], r["entity_type"], r["canonical_name"],
+                tuple(r["common_mentions"]), r["mention_count"],
+                r["document_count"], tuple(sorted(r["exact_forms"])),
+                tuple(r["first20"]), r["created_ord"],
+            )
+            for r in df.collect()
+        )
+
+    direct = norm(full_catalog(ents, mode="direct"))
+    salted = norm(full_catalog(ents, mode="salted"))
+    assert direct == salted and len(direct) > 0
+    # auto over a scan-shaped small input routes direct; over an
+    # unconfident plan (union widens stats away from scan shape) the
+    # result is still identical either way — routing is perf-only
+    assert norm(full_catalog(ents, mode="auto")) == direct
