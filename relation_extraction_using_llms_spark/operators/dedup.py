@@ -107,7 +107,9 @@ def ngram_jaccard_pairs(
     not |docs|^2.  Shingles shared by more than ``max_docs_per_shingle``
     docs are dropped (stop-phrase guard — the standard skew cap; any pair
     above threshold shares rarer shingles too)."""
-    sh = documents.select(
+    from ..functions.partitioning import widen_degenerate_scan
+
+    sh = widen_degenerate_scan(documents).select(
         "doc_id", F.explode(_shingles(n)).alias("shingle")
     )
     hot = (
@@ -187,6 +189,13 @@ def minhash_lsh_pairs(
     for ``num_hashes``."""
     if num_hash_tables is not None:
         num_hashes = num_hash_tables
+    # the shingle hashing + banding below run in the SCAN stage; a
+    # single-row-group input would execute them on one core (guide §2.5:
+    # repartition straight after a degenerate read — no-op on
+    # well-partitioned tables)
+    from ..functions.partitioning import widen_degenerate_scan
+
+    documents = widen_degenerate_scan(documents)
     hashed = documents.select(
         "doc_id", _shingle_hashes(n).alias("hs")
     ).where(F.size("hs") > 0)
@@ -269,6 +278,8 @@ def _passage_windows(documents: DataFrame, window: int) -> DataFrame:
     doc (``bind_once`` — the interpreted-HOF collapse trap); docs shorter
     than ``window`` contribute nothing (Spark's ``sequence(0, negative)``
     would count DOWN, so the guard matters)."""
+    from ..functions.partitioning import widen_degenerate_scan
+
     tokens = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     windows = _let(
         tokens,
@@ -280,7 +291,7 @@ def _passage_windows(documents: DataFrame, window: int) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>")),
     )
-    return documents.select(
+    return widen_degenerate_scan(documents).select(
         "doc_id", F.explode(windows).alias("passage")
     ).select("doc_id", F.md5("passage").alias("passage_hash"), "passage")
 
@@ -382,8 +393,12 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     pairing below it can be independently verified (the signature needs
     xxhash64, which external oracles lack; the pairing is pure bit
     algebra both engines can run)."""
+    from ..functions.partitioning import widen_degenerate_scan
+
     tokens = F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
-    tok = documents.select("doc_id", tokens).where(F.col("token") != "")
+    tok = widen_degenerate_scan(documents).select("doc_id", tokens).where(
+        F.col("token") != ""
+    )
     th = tok.select("doc_id", F.xxhash64("token").alias("h"))
     bits = th.select(
         "doc_id",

@@ -82,30 +82,41 @@ def extract_features(media_df: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def sample_frames(media_df: DataFrame, every_k: int = 4) -> DataFrame:
-    """Frame sampling plumbing for video blobs: explode frame indices
-    JVM-side (0, k, 2k, ...), then batch-decode per frame."""
+    """Frame sampling plumbing for video blobs: frame indices (0, k,
+    2k, ...) are computed JVM-side as an ARRAY per video, and the fan-out
+    to per-frame rows happens INSIDE the Python batch — the media blob
+    crosses the Arrow boundary once per VIDEO, not once per sampled
+    frame (a JVM-side explode before the decode duplicated the fat blob
+    n_frames/k times through serialization — the classic fat-column-at-
+    finer-grain trap; a real decoder also wants the whole blob per task
+    to open the container once and seek, not one copy per frame)."""
     frames = media_df.where(F.col("media_type") == "video").select(
         "doc_id",
         "media",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))
-        ).alias("frame_index"),
+        F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every_k)
+        ).alias("frame_indices"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_stub(
-                    (m or b"") + struct.pack(">I", int(i)), "video", 8
-                )
-                for m, i in zip(pdf["media"], pdf["frame_index"])
-            ]
+            ids: list = []
+            idxs: list = []
+            feats: list = []
+            for d, m, arr in zip(
+                pdf["doc_id"], pdf["media"], pdf["frame_indices"]
+            ):
+                # numpy-array column: guard with `is None`, never truthiness
+                for i in arr if arr is not None else []:
+                    ids.append(d)
+                    idxs.append(int(i))
+                    feats.append(
+                        _decode_stub(
+                            (m or b"") + struct.pack(">I", int(i)), "video", 8
+                        )
+                    )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "frame_index": pdf["frame_index"],
-                    "feature": feats,
-                }
+                {"doc_id": ids, "frame_index": idxs, "feature": feats}
             )
 
     return frames.mapInPandas(run, schema=FRAME_FEATURES_SCHEMA)
