@@ -637,3 +637,64 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert [i for i in got if got[i]["keep"]] == [1, 4, 5]
     kept = sorted(r["doc_id"] for r in dedup_corpus(docs, pairs).collect())
     assert kept == [1, 4, 5]
+
+
+def test_widen_degenerate_scan_gate(spark, tmp_path):
+    """The scan-parallelism guard fires only on (few-partition AND
+    provably-small) inputs: a single-file parquet scan widens to the
+    cluster's default parallelism; an input already at >= parallelism/4
+    partitions is returned untouched (same plan object semantics — no
+    shuffle added)."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.functions.partitioning import (
+        widen_degenerate_scan,
+    )
+
+    one = str(tmp_path / "one")
+    spark.range(500).select(
+        "id", F.concat(F.lit("text "), F.col("id").cast("string")).alias("text")
+    ).coalesce(1).write.parquet(one)
+    narrow = spark.read.parquet(one)
+    assert narrow.rdd.getNumPartitions() == 1
+    target = spark.sparkContext.defaultParallelism
+    widened = widen_degenerate_scan(narrow)
+    assert widened.rdd.getNumPartitions() == target
+    assert widened.count() == narrow.count() == 500
+
+    wide = narrow.repartition(target)
+    assert widen_degenerate_scan(wide) is wide  # no-op, not even a copy
+
+
+def test_lsh_topk_cosine_matches_exact_formulation(spark):
+    """The norm-hoisted rescore must equal the _exact_cosine expression
+    bit-for-bit: same cast-to-double tree, norms merely precomputed per
+    side (this is the invariant that kept r7's hoist result-identical)."""
+    import pyspark.sql.functions as F
+
+    from relation_extraction_using_llms_spark.operators.similarity import (
+        _exact_cosine,
+        lsh_topk,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in lsh_topk(emb, q, k=40, dim=8, candidate_distance=2.0).collect()
+    }
+    ref = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in q.select(F.col("query_id"), F.col("embedding").alias("q_emb"))
+        .crossJoin(
+            emb.select(F.col("vec_id"), F.col("embedding").alias("c_emb"))
+        )
+        .select("query_id", "vec_id", _exact_cosine("q_emb", "c_emb").alias("cosine"))
+        .collect()
+    }
+    assert got, "lsh produced no rows"
+    for k, v in got.items():
+        assert v == ref[k], f"cosine drifted for {k}: {v} != {ref[k]}"
